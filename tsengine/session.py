@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Replaces the reference's connection factories (``load_pool`` /
+``load_session``, reference src/orm/cassandra_util.py:19-20 and
+src/orm/sqlalchemy_model.py:89-96): one SparkSession + catalog instead of
+per-query Cassandra/Postgres connections.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "tsengine",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on (runtime re-planning, skew-join handling at scale).
+    - session timezone pinned to UTC so ``unix_timestamp``/casts are
+      deterministic; calendar bucketing applies Europe/Madrid explicitly
+      (reference analysis_utils.py:182-237).
+    - Arrow enabled for the pandas-UDF compression kernels.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("TSENGINE_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or os.environ.get("TSENGINE_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
