@@ -119,8 +119,10 @@ def events_as_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch, value -> value.  Column pruning keeps the scan at 3 columns.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC, so NTZ -> TZ -> long
+    # matches DuckDB's floor(epoch(ts)) exactly (both truncate sub-seconds)
     return ev.select(
         F.col("user_id").alias("series_id"),
-        F.col("ts").cast("long").alias("epoch"),
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
         F.col("value").alias("value"),
     )

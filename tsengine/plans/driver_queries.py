@@ -1,0 +1,478 @@
+"""Driver-contract query registry (SURVEY.md §7.5).
+
+One entry per implemented operator from SURVEY.md §2, expressed over the
+driver's parquet tables (events as the series source: user_id -> series_id,
+unix_timestamp(ts) -> epoch, value -> value; FIXTURES.md §2), each with an
+equivalent DuckDB ANSI-SQL oracle.
+
+Conventions that keep the driver's value-hash comparison stable:
+- every float output column is round(x, 6) on BOTH sides;
+- epochs/buckets are BIGINT on both sides (Spark cast long == DuckDB
+  floor(epoch(ts))::BIGINT — both truncate sub-second);
+- aggregate/computed columns aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.core import events_as_series
+from tsengine.operators import aggregates as agg
+from tsengine.operators import arithmetic as arith
+from tsengine.operators import increments as incr
+from tsengine.operators import resample
+from tsengine.operators import split as spl
+
+# ------------------------------------------------------------------ SQL helpers
+
+PTS = (
+    "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value "
+    "FROM events"
+)
+
+# cumulative meter per series (monotone non-decreasing: value > 0)
+CUM = (
+    "SELECT series_id, epoch, sum(value) OVER "
+    "(PARTITION BY series_id ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " AS value FROM (" + PTS + ")"
+)
+
+
+def _grid_cte(src: str, step: int) -> str:
+    """Grid + LOCF + bfill CTE chain mirroring resample.distribute (tf:255-302)."""
+    return f"""
+pts AS ({src}),
+b AS (SELECT series_id, min(epoch) AS lo, max(epoch) AS hi FROM pts GROUP BY 1),
+grid AS (SELECT series_id,
+    unnest(generate_series(
+        CASE WHEN lo % {step} = 0 THEN lo ELSE {step}*(lo//{step}) + {step} END,
+        (CASE WHEN hi % {step} = 0 THEN {step}*(hi//{step}) + {step}
+              ELSE {step}*(hi//{step}) + 2*{step} END) - {step},
+        {step})) AS epoch,
+    CAST(NULL AS DOUBLE) AS value, 1 AS g FROM b),
+u AS (SELECT series_id, epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+padded AS (SELECT series_id, epoch, g,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY epoch, g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pad FROM u),
+dist AS (SELECT series_id, epoch,
+    first_value(pad IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY epoch
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+    FROM padded WHERE g = 1)
+"""
+
+
+def _bucket_sql(epoch_expr: str, period: str, tz: str = "Europe/Madrid") -> str:
+    """Calendar bucket with the minute-0 shift quirk (au:182-237) in DuckDB."""
+    em = f"(60*(({epoch_expr})//60))"
+    if period == "hour":
+        return (
+            f"CASE WHEN {em} % 3600 = 0 THEN 3600*({em}//3600) - 3600 "
+            f"ELSE 3600*({em}//3600) END"
+        )
+    shifted = f"(CASE WHEN {em} % 3600 = 0 THEN {em} - 60 ELSE {em} END)"
+    return (
+        f"CAST(floor(epoch(timezone('{tz}', date_trunc('{period}', "
+        f"timezone('{tz}', to_timestamp({shifted})))))) AS BIGINT)"
+    )
+
+
+def _cum_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_as_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("epoch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.withColumn("value", F.sum("value").over(w))
+
+
+def _r6(df: DataFrame, col: str = "value") -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), 6))
+
+
+# ------------------------------------------------------------------ queries
+
+def q_inner_sum(spark, sf_dir):
+    return _r6(agg.inner_sum(events_as_series(spark, sf_dir)))
+
+
+def q_inner_max(spark, sf_dir):
+    return _r6(agg.inner_max(events_as_series(spark, sf_dir)))
+
+
+def q_inner_min(spark, sf_dir):
+    return _r6(agg.inner_min(events_as_series(spark, sf_dir)))
+
+
+def q_inner_mean(spark, sf_dir):
+    return _r6(agg.inner_mean(events_as_series(spark, sf_dir)))
+
+
+def q_inner_std(spark, sf_dir):
+    return _r6(agg.inner_std(events_as_series(spark, sf_dir)))
+
+
+def q_last_3(spark, sf_dir):
+    return _r6(agg.last(events_as_series(spark, sf_dir), number=3))
+
+
+def q_increments(spark, sf_dir):
+    out = incr.increments(
+        events_as_series(spark, sf_dir), monotony="non_monotonous", validate=False
+    )
+    return _r6(out)
+
+
+def q_increments_reset(spark, sf_dir):
+    df = events_as_series(spark, sf_dir)
+    out = incr.increments(df, monotony="increasing", validate=False)
+    return _r6(out)
+
+
+def q_distribute_locf(spark, sf_dir):
+    return _r6(resample.distribute(events_as_series(spark, sf_dir), seconds=3600))
+
+
+def q_distribute_fill(spark, sf_dir):
+    return _r6(
+        resample.distribute(events_as_series(spark, sf_dir), seconds=3600, fill_value=-1.0)
+    )
+
+
+def q_distribute_linear(spark, sf_dir):
+    return _r6(
+        resample.distribute_linear(
+            _cum_series(spark, sf_dir), time_int=3600, monotony="increasing"
+        )
+    )
+
+
+def q_split_hour_sum(spark, sf_dir):
+    return _r6(spl.split_agg(events_as_series(spark, sf_dir), period="hour", agg="sum"))
+
+
+def q_split_day_mean(spark, sf_dir):
+    return _r6(spl.split_agg(events_as_series(spark, sf_dir), period="day", agg="mean"))
+
+
+def q_usage_day(spark, sf_dir):
+    """Flagship (E3/usage, tf:1218-1223): cumulative meter -> distribute(1h)
+    -> increments -> split(day, Europe/Madrid) -> inner_sum."""
+    cum = _cum_series(spark, sf_dir)
+    d = resample.distribute(cum, seconds=3600)
+    inc = incr.increments(d, monotony="increasing", validate=False)
+    return _r6(spl.split_agg(inc, period="day", agg="sum"))
+
+
+def q_usage_week(spark, sf_dir):
+    cum = _cum_series(spark, sf_dir)
+    d = resample.distribute(cum, seconds=3600)
+    inc = incr.increments(d, monotony="increasing", validate=False)
+    return _r6(spl.split_agg(inc, period="week", agg="sum"))
+
+
+def q_meter_total(spark, sf_dir):
+    return _r6(incr.meter_increments_total(_cum_series(spark, sf_dir)))
+
+
+def q_count_state_change(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("series_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+        F.col("event_type").alias("value"),
+    )
+    return agg.count_state_change(ev, "click", value_col="value")
+
+
+def q_clean_duplicated(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("series_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+        F.col("event_type").alias("value"),
+    )
+    return arith.clean_duplicated(ev)
+
+
+def q_delete_critical(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("series_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+        F.col("event_type").alias("value"),
+    )
+    return arith.delete_critical_values(ev, "error")
+
+
+def q_histogram(spark, sf_dir):
+    out = agg.histogram(
+        events_as_series(spark, sf_dir), lower_limit=0.0, upper_limit=500.0, n_ints=50
+    )
+    return out.withColumn("lo", F.round("lo", 6)).withColumn("hi", F.round("hi", 6))
+
+
+def q_scalar_chain(spark, sf_dir):
+    # ((value * 2 - 10) ** 2.5→2) / 4 ; exercises C1-C6 incl. int truncation
+    ev = events_as_series(spark, sf_dir)
+    out = arith.scalar_division(
+        arith.scalar_power(
+            arith.scalar_sub(arith.scalar_product(ev, 2.0), 10.0), 2.5
+        ),
+        4.0,
+    )
+    return _r6(out)
+
+
+def q_pair_product(spark, sf_dir):
+    # hourly sum × hourly count per user, joined on (series, bucket end epoch)
+    ev = events_as_series(spark, sf_dir)
+    hs = spl.split_agg(ev, period="hour", agg="sum").select(
+        "series_id", F.col("bucket").alias("epoch"), "value"
+    )
+    hc = (
+        spl.split(ev, period="hour")
+        .groupBy("series_id", "bucket")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select("series_id", F.col("bucket").alias("epoch"), "value")
+    )
+    return _r6(arith.product(hs, hc))
+
+
+def q_pair_addition_scalar_broadcast(spark, sf_dir):
+    # per-series total (single row) + the series itself: broadcast case
+    ev = events_as_series(spark, sf_dir)
+    tot = agg.inner_sum(ev)
+    return _r6(arith.addition(ev, tot))
+
+
+def q_rollup_1h(spark, sf_dir):
+    # tier rollup shape on events: cnt/vmin/vmax/vsum/vmean per (series, hour)
+    ev = events_as_series(spark, sf_dir)
+    b = ev.withColumn("bucket", (F.lit(3600) * F.floor(F.col("epoch") / 3600)).cast("long"))
+    return (
+        b.groupBy("series_id", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+            F.round(F.avg("value"), 6).alias("vmean"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ oracle SQL
+
+ORACLE: dict[str, str] = {}
+
+for _name, _fn in [
+    ("q_inner_sum", "sum"),
+    ("q_inner_max", "max"),
+    ("q_inner_min", "min"),
+    ("q_inner_mean", "avg"),
+    ("q_inner_std", "stddev_pop"),
+]:
+    ORACLE[_name] = (
+        f"SELECT series_id, max(epoch) AS epoch, round({_fn}(value), 6) AS value "
+        f"FROM ({PTS}) GROUP BY series_id"
+    )
+
+ORACLE["q_last_3"] = f"""
+SELECT series_id, epoch, round(value, 6) AS value FROM (
+  SELECT series_id, epoch, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY epoch DESC) AS rn
+  FROM ({PTS})) WHERE rn <= 3
+"""
+
+ORACLE["q_increments"] = f"""
+SELECT series_id, epoch, round(value - prev, 6) AS value FROM (
+  SELECT series_id, epoch, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY epoch) AS prev
+  FROM ({PTS})) WHERE prev IS NOT NULL
+"""
+
+ORACLE["q_increments_reset"] = f"""
+SELECT series_id, epoch,
+       round(CASE WHEN prev > value THEN value - 0.0 ELSE value - prev END, 6) AS value
+FROM (
+  SELECT series_id, epoch, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY epoch) AS prev
+  FROM ({PTS})) WHERE prev IS NOT NULL
+"""
+
+ORACLE["q_distribute_locf"] = (
+    "WITH " + _grid_cte(PTS, 3600) + "SELECT series_id, epoch, round(value, 6) AS value FROM dist"
+)
+
+ORACLE["q_distribute_fill"] = f"""
+WITH pts AS ({PTS}),
+b AS (SELECT series_id, min(epoch) AS lo, max(epoch) AS hi FROM pts GROUP BY 1),
+grid AS (SELECT series_id,
+    unnest(generate_series(
+        CASE WHEN lo % 3600 = 0 THEN lo ELSE 3600*(lo//3600) + 3600 END,
+        (CASE WHEN hi % 3600 = 0 THEN 3600*(hi//3600) + 3600
+              ELSE 3600*(hi//3600) + 7200 END) - 3600,
+        3600)) AS epoch FROM b)
+SELECT g.series_id, g.epoch, round(coalesce(p.value, -1.0), 6) AS value
+FROM grid g LEFT JOIN pts p ON g.series_id = p.series_id AND g.epoch = p.epoch
+"""
+
+ORACLE["q_distribute_linear"] = f"""
+WITH pts AS ({CUM}),
+b AS (SELECT series_id, min(epoch) AS lo, max(epoch) AS hi FROM pts GROUP BY 1),
+grid AS (SELECT series_id,
+    unnest(generate_series(
+        CASE WHEN lo % 3600 = 0 THEN lo ELSE 3600*(lo//3600) + 3600 END,
+        3600*((hi - 1)//3600),
+        3600)) AS epoch,
+    CAST(NULL AS DOUBLE) AS value, 1 AS g FROM b WHERE hi > lo),
+u AS (SELECT series_id, epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+br AS (SELECT series_id, epoch, g,
+    last_value(CASE WHEN g = 0 THEN epoch END IGNORE NULLS) OVER wp AS pe,
+    last_value(CASE WHEN g = 0 THEN value END IGNORE NULLS) OVER wp AS pv,
+    first_value(CASE WHEN g = 0 THEN epoch END IGNORE NULLS) OVER wn AS ne,
+    first_value(CASE WHEN g = 0 THEN value END IGNORE NULLS) OVER wn AS nv
+    FROM u WINDOW
+    wp AS (PARTITION BY series_id ORDER BY epoch, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY series_id ORDER BY epoch, g ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT series_id, epoch,
+    round(CASE WHEN pv > nv THEN 0.0 + ((epoch - pe)*1.0/(ne - pe))*(nv - 0.0)
+               ELSE pv + ((epoch - pe)*1.0/(ne - pe))*(nv - pv) END, 6) AS value
+FROM br WHERE g = 1 AND pe IS NOT NULL AND ne IS NOT NULL
+"""
+
+ORACLE["q_split_hour_sum"] = f"""
+SELECT series_id, {_bucket_sql('epoch', 'hour')} AS bucket,
+       max(epoch) AS epoch, round(sum(value), 6) AS value
+FROM ({PTS}) GROUP BY 1, 2
+"""
+
+ORACLE["q_split_day_mean"] = f"""
+SELECT series_id, {_bucket_sql('epoch', 'day')} AS bucket,
+       max(epoch) AS epoch, round(avg(value), 6) AS value
+FROM ({PTS}) GROUP BY 1, 2
+"""
+
+_USAGE_TMPL = (
+    "WITH "
+    + _grid_cte(CUM, 3600)
+    + """,
+inc AS (SELECT series_id, epoch, value,
+    lag(value) OVER (PARTITION BY series_id ORDER BY epoch) AS prev FROM dist),
+inc2 AS (SELECT series_id, epoch,
+    CASE WHEN prev > value THEN value - 0.0 ELSE value - prev END AS value
+    FROM inc WHERE prev IS NOT NULL)
+SELECT series_id, {bucket} AS bucket, max(epoch) AS epoch,
+       round(sum(value), 6) AS value
+FROM inc2 GROUP BY 1, 2
+"""
+)
+
+ORACLE["q_usage_day"] = _USAGE_TMPL.format(bucket=_bucket_sql("epoch", "day"))
+ORACLE["q_usage_week"] = _USAGE_TMPL.format(bucket=_bucket_sql("epoch", "week"))
+
+ORACLE["q_meter_total"] = f"""
+WITH pts AS ({CUM}),
+p AS (SELECT series_id, epoch, value,
+      lag(value) OVER w AS prev,
+      row_number() OVER w AS rn,
+      count(*) OVER (PARTITION BY series_id) AS n,
+      min(epoch) OVER (PARTITION BY series_id) AS first_epoch
+      FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY epoch))
+SELECT series_id, min(first_epoch) AS epoch,
+       round(sum(CASE WHEN rn >= 2 AND rn <= n - 1
+                 THEN CASE WHEN value >= prev THEN value - prev ELSE value - 0.0 END
+                 ELSE 0.0 END), 6) AS value
+FROM p GROUP BY series_id
+"""
+
+_EVT = (
+    "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
+    "event_type AS value FROM events"
+)
+
+ORACLE["q_count_state_change"] = f"""
+SELECT series_id, min(epoch) AS epoch,
+       CAST(sum(CASE WHEN value = 'click' AND coalesce(prev, 'click') <> 'click'
+                THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM (SELECT series_id, epoch, value,
+             lag(value) OVER (PARTITION BY series_id ORDER BY epoch) AS prev
+      FROM ({_EVT}))
+GROUP BY series_id
+"""
+
+ORACLE["q_clean_duplicated"] = f"""
+SELECT series_id, epoch, value FROM (
+  SELECT series_id, epoch, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY epoch) AS prev
+  FROM ({_EVT})) WHERE prev IS NULL OR value <> prev
+"""
+
+ORACLE["q_delete_critical"] = f"SELECT * FROM ({_EVT}) WHERE value <> 'error'"
+
+ORACLE["q_histogram"] = """
+WITH buckets AS (SELECT unnest(generate_series(0, 49)) AS bucket),
+counts AS (
+  SELECT CAST(floor((value - 0.0) / 10.0) AS INT) AS bucket, count(*) AS c
+  FROM events WHERE value >= 0.0 AND value < 500.0 GROUP BY 1)
+SELECT b.bucket AS bucket,
+       round(0.0 + b.bucket * 10.0, 6) AS lo,
+       round(500.0 - (50 - b.bucket - 1) * 10.0, 6) AS hi,
+       coalesce(c.c, 0) AS cnt
+FROM buckets b LEFT JOIN counts c ON b.bucket = c.bucket
+"""
+
+ORACLE["q_scalar_chain"] = f"""
+SELECT series_id, epoch, round(pow(value * 2 - 10, 2) / 4, 6) AS value FROM ({PTS})
+"""
+
+ORACLE["q_pair_product"] = f"""
+WITH pts AS ({PTS}),
+hs AS (SELECT series_id, {_bucket_sql('epoch', 'hour')} AS epoch, sum(value) AS value
+       FROM pts GROUP BY 1, 2),
+hc AS (SELECT series_id, {_bucket_sql('epoch', 'hour')} AS epoch,
+       CAST(count(*) AS DOUBLE) AS value FROM pts GROUP BY 1, 2)
+SELECT hs.series_id, hs.epoch, round(hs.value * hc.value, 6) AS value
+FROM hs JOIN hc ON hs.series_id = hc.series_id AND hs.epoch = hc.epoch
+"""
+
+ORACLE["q_pair_addition_scalar_broadcast"] = f"""
+WITH pts AS ({PTS}),
+tot AS (SELECT series_id, sum(value) AS total FROM pts GROUP BY 1)
+SELECT p.series_id, p.epoch, round(p.value + t.total, 6) AS value
+FROM pts p JOIN tot t ON p.series_id = t.series_id
+"""
+
+ORACLE["q_rollup_1h"] = f"""
+SELECT series_id, 3600*(epoch//3600) AS bucket, count(*) AS cnt,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+       round(sum(value), 6) AS vsum, round(avg(value), 6) AS vmean
+FROM ({PTS}) GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_inner_sum": q_inner_sum,
+    "q_inner_max": q_inner_max,
+    "q_inner_min": q_inner_min,
+    "q_inner_mean": q_inner_mean,
+    "q_inner_std": q_inner_std,
+    "q_last_3": q_last_3,
+    "q_increments": q_increments,
+    "q_increments_reset": q_increments_reset,
+    "q_distribute_locf": q_distribute_locf,
+    "q_distribute_fill": q_distribute_fill,
+    "q_distribute_linear": q_distribute_linear,
+    "q_split_hour_sum": q_split_hour_sum,
+    "q_split_day_mean": q_split_day_mean,
+    "q_usage_day": q_usage_day,
+    "q_usage_week": q_usage_week,
+    "q_meter_total": q_meter_total,
+    "q_count_state_change": q_count_state_change,
+    "q_clean_duplicated": q_clean_duplicated,
+    "q_delete_critical": q_delete_critical,
+    "q_histogram": q_histogram,
+    "q_scalar_chain": q_scalar_chain,
+    "q_pair_product": q_pair_product,
+    "q_pair_addition_scalar_broadcast": q_pair_addition_scalar_broadcast,
+    "q_rollup_1h": q_rollup_1h,
+}
