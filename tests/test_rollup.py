@@ -1,0 +1,163 @@
+"""Tier rollup correctness: bit-for-bit vs the pure-pandas oracle
+(FIXTURES.md §4), partial-reaggregation consistency, exact-kernel parity,
+per-turn text equality, and kill-resume without double counts."""
+
+import os
+
+import pytest
+
+from oracle import reference_oracle as ro
+from tsengine.checkpoint import InjectedFailure, RollupJob
+from tsengine.operators import rollup as R
+from tsengine.synth import transcripts, write_transcripts
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(spark):
+    return transcripts(spark, n_conv=20, base_turns=40, hot_factor=10).cache()
+
+
+def _collect_turns(df):
+    rows = df.select("conv_id", "turn_idx", "role", "tool", "ts").collect()
+    by_conv = {}
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        by_conv.setdefault(r["conv_id"], []).append(
+            {
+                "epoch": int(r["ts"].timestamp()),
+                "role": r["role"],
+                "tool": r["tool"],
+            }
+        )
+    return by_conv
+
+
+def _tier_rows(df):
+    out = {}
+    for r in df.collect():
+        key = (r["conv_id"], r["bucket"])
+        out[key] = {
+            "cnt": r["cnt"],
+            "cnt_lat": r["cnt_lat"],
+            "vmin": r["vmin"],
+            "vmax": r["vmax"],
+            "vsum": r["vsum"],
+            "vmean": r["vmean"],
+            "role_dist": dict(r["role_dist"]) if r["role_dist"] else {},
+            "tool_dist": dict(r["tool_dist"]) if r["tool_dist"] else {},
+        }
+    return out
+
+
+def test_synth_deterministic_and_invariant(spark):
+    a = transcripts(spark, n_conv=5, base_turns=20, hot_factor=3)
+    b = transcripts(spark, n_conv=5, base_turns=20, hot_factor=3)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # (conv_id, turn_idx) unique; ts non-decreasing within conv
+    seen = set()
+    last = {}
+    for row in ra:
+        conv, idx, _, _, _, ts = row
+        assert (conv, idx) not in seen
+        seen.add((conv, idx))
+        if conv in last:
+            assert ts >= last[conv]
+        last[conv] = ts
+
+
+def test_tiers_match_pandas_oracle_bitforbit(spark, small_transcripts):
+    turns = R.with_latency(small_transcripts)
+    tiers = R.build_all_tiers(turns)
+    by_conv = _collect_turns(small_transcripts)
+
+    for name in ("1m", "1h", "1d"):
+        got = _tier_rows(tiers[name])
+        exp = {}
+        for conv, t in by_conv.items():
+            for bucket, row in ro.rollup_tiers(t, tiers=((R.TIERS[name], name),))[name].items():
+                exp[(conv, bucket)] = row
+        assert set(got) == set(exp), f"{name}: bucket sets differ"
+        for key in exp:
+            g, e = got[key], exp[key]
+            assert g["cnt"] == e["cnt"] and g["cnt_lat"] == e["cnt_lat"], (name, key)
+            # bit-for-bit float equality (integer-second latencies are exact)
+            for fld in ("vmin", "vmax", "vsum", "vmean"):
+                assert g[fld] == e[fld], (name, key, fld, g[fld], e[fld])
+            assert g["role_dist"] == e["role_dist"], (name, key)
+            assert g["tool_dist"] == e["tool_dist"], (name, key)
+
+
+def test_reaggregate_equals_direct(spark, small_transcripts):
+    """1h built from 1m must equal 1h built straight from raw."""
+    turns = R.with_latency(small_transcripts)
+    direct = _tier_rows(R.rollup_raw_to_tier(turns, "1h"))
+    via_1m = _tier_rows(R.reaggregate(R.rollup_raw_to_tier(turns, "1m"), "1h"))
+    assert direct == via_1m
+
+
+def test_exact_kernel_matches_fast_path(spark, small_transcripts):
+    turns = R.with_latency(small_transcripts)
+    fast = _tier_rows(R.rollup_raw_to_tier(turns, "1h"))
+    exact = {}
+    for r in R.rollup_exact(turns, "1h").collect():
+        exact[(r["conv_id"], r["bucket"])] = (
+            r["cnt"], r["cnt_lat"], r["vmin"], r["vmax"], r["vsum"], r["vmean"]
+        )
+    assert set(fast) == set(exact)
+    for k, v in exact.items():
+        f = fast[k]
+        assert (f["cnt"], f["cnt_lat"], f["vmin"], f["vmax"], f["vsum"], f["vmean"]) == v
+
+
+def test_checkpoint_resume_no_double_counts(spark, tmp_path):
+    src = str(tmp_path / "transcripts")
+    write_transcripts(spark, src, n_conv=12, base_turns=30, hot_factor=5)
+
+    # full run -> golden outputs
+    golden_dir = str(tmp_path / "golden")
+    job_g = RollupJob(golden_dir)
+    job_g.run(spark, src)
+    golden = {t: _tier_rows(job_g.read_tier(spark, t)) for t in ("1m", "1h", "1d")}
+
+    # killed run: fail after 1 committed day of tier 1m
+    resume_dir = str(tmp_path / "resume")
+    job_k = RollupJob(resume_dir, run_id="killed")
+    with pytest.raises(InjectedFailure):
+        job_k.run(spark, src, fail_after=("1m", 1))
+    assert len(job_k.committed("1m")) == 1
+    assert len(job_k.committed("1h")) == 0
+
+    # resume with a fresh job object (new run id), same base dir
+    job_r = RollupJob(resume_dir, run_id="resumed")
+    committed = job_r.run(spark, src)
+    # prep fully committed in run 1 -> nothing re-done
+    assert committed["prep"] == []
+    # outputs identical to the single-run golden
+    for t in ("1m", "1h", "1d"):
+        assert _tier_rows(job_r.read_tier(spark, t)) == golden[t], t
+
+    # lineage rows exist for every committed partition
+    lin = job_r.lineage_rows()
+    keys = {(r["tier"], r["partition_key"]) for r in lin}
+    for t in ("prep", "1m", "1h", "1d"):
+        assert any(k[0] == t for k in keys)
+
+
+def test_per_turn_text_equality(spark, tmp_path):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering, after a round-trip through the prep stage."""
+    src = str(tmp_path / "transcripts")
+    write_transcripts(spark, src, n_conv=6, base_turns=20, hot_factor=3)
+    base = str(tmp_path / "job")
+    job = RollupJob(base)
+    job.run(spark, src)
+
+    orig = spark.read.parquet(src).select("conv_id", "turn_idx", "text")
+    prep = spark.read.parquet(os.path.join(base, "prep")).select(
+        "conv_id", "turn_idx", "text"
+    )
+    o = [(r["conv_id"], r["turn_idx"], r["text"]) for r in orig.collect()]
+    p = [(r["conv_id"], r["turn_idx"], r["text"]) for r in prep.collect()]
+    assert sorted(o) == sorted(p)
+    assert len(o) == len(set((c, t) for c, t, _ in o))

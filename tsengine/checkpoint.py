@@ -1,0 +1,216 @@
+"""Checkpointed, resumable tier builds with per-partition lineage
+(BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Commit protocol (the Iceberg-snapshot analogue for this sandbox's plain
+parquet — on a real cluster the same driver logic commits Iceberg
+partitions atomically; no Iceberg runtime jar ships here):
+
+- every stage writes each day-partition to a staging dir, then
+  ``os.replace``-renames it into the final layout (atomic on one fs);
+- a JSON checkpoint file per (stage, partition_key) is written tmp+rename
+  AFTER the data move: a kill between the two leaves an uncommitted
+  partition that the next run simply overwrites — idempotent, no double
+  counts (commit unit = tier bucket day, SURVEY.md §7.3 hard part 4);
+- lineage rows (input/output rows + bytes per partition) land next to the
+  checkpoints (FIXTURES.md §5 shapes).
+
+Stages: prep (turns + latency plane, partitioned by day) -> 1m -> 1h -> 1d,
+each tier read from the previous one (continuous aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.operators import rollup as R
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fail_after test hook to simulate a mid-job kill."""
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+@dataclass
+class RollupJob:
+    base_dir: str
+    run_id: str = ""
+
+    def __post_init__(self):
+        self.run_id = self.run_id or uuid.uuid4().hex[:12]
+        for d in ("_checkpoints", "_lineage", "_staging"):
+            os.makedirs(os.path.join(self.base_dir, d), exist_ok=True)
+
+    # ---------------- checkpoint bookkeeping ----------------
+    def _ckpt_path(self, stage: str, key: str) -> str:
+        return os.path.join(self.base_dir, "_checkpoints", f"{stage}__{key}.json")
+
+    def committed(self, stage: str) -> set[str]:
+        d = os.path.join(self.base_dir, "_checkpoints")
+        pre = f"{stage}__"
+        return {
+            f[len(pre):-5] for f in os.listdir(d) if f.startswith(pre) and f.endswith(".json")
+        }
+
+    def _commit(self, stage: str, key: str) -> None:
+        _write_json_atomic(
+            self._ckpt_path(stage, key),
+            {
+                "tier": stage,
+                "partition_key": key,
+                "job_run_id": self.run_id,
+                "committed_at": int(time.time()),
+            },
+        )
+
+    def _lineage(self, stage: str, key: str, in_rows: int, out_rows: int,
+                 in_bytes: int, out_bytes: int) -> None:
+        _write_json_atomic(
+            os.path.join(self.base_dir, "_lineage", f"{stage}__{key}__{self.run_id}.json"),
+            {
+                "tier": stage,
+                "partition_key": key,
+                "input_rows": in_rows,
+                "output_rows": out_rows,
+                "input_bytes": in_bytes,
+                "output_bytes": out_bytes,
+                "source_snapshot_id": None,
+                "run_id": self.run_id,
+            },
+        )
+
+    def lineage_rows(self) -> list[dict]:
+        d = os.path.join(self.base_dir, "_lineage")
+        return [json.load(open(os.path.join(d, f))) for f in sorted(os.listdir(d))]
+
+    # ---------------- stage runner ----------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base_dir, "prep" if stage == "prep" else f"tier={stage}")
+
+    def _write_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        day_col,
+        fail_after: int | None = None,
+        input_bytes: int = 0,
+    ) -> list[str]:
+        """Write `df` partitioned by day, committing each uncommitted day
+        atomically.  Returns the list of newly committed days."""
+        out_base = self._stage_dir(stage)
+        os.makedirs(out_base, exist_ok=True)
+        done = self.committed(stage)
+
+        staged = df.withColumn("day", day_col)
+        todo_counts = {
+            r["day"]: r["cnt"]
+            for r in staged.groupBy("day").agg(F.count("*").alias("cnt")).collect()
+            if r["day"] not in done
+        }
+        todo = sorted(todo_counts)
+        if not todo:
+            return []
+
+        staging = os.path.join(self.base_dir, "_staging", f"{stage}_{self.run_id}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        (
+            staged.filter(F.col("day").isin(todo))
+            .repartition("day")
+            .sortWithinPartitions("conv_id")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(staging)
+        )
+
+        committed = []
+        per_day_in_bytes = input_bytes // max(len(todo), 1)
+        for i, day in enumerate(todo):
+            src = os.path.join(staging, f"day={day}")
+            dst = os.path.join(out_base, f"day={day}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)  # uncommitted leftovers from a killed run
+            os.replace(src, dst)
+            out_bytes = _dir_bytes(dst)
+            self._lineage(stage, day, todo_counts[day], todo_counts[day],
+                          per_day_in_bytes, out_bytes)
+            self._commit(stage, day)
+            committed.append(day)
+            if fail_after is not None and i + 1 >= fail_after:
+                raise InjectedFailure(f"injected failure after {fail_after} commits of {stage}")
+        shutil.rmtree(staging, ignore_errors=True)
+        return committed
+
+    # ---------------- the pipeline ----------------
+    def run(
+        self,
+        spark: SparkSession,
+        transcripts_path: str,
+        fail_after: tuple[str, int] | None = None,
+    ) -> dict[str, list[str]]:
+        """Build prep -> 1m -> 1h -> 1d incrementally; skip committed days.
+
+        fail_after=(stage, n) injects a failure after n partition commits of
+        that stage (kill-resume tests).
+        """
+        committed: dict[str, list[str]] = {}
+
+        def fa(stage):
+            return fail_after[1] if fail_after and fail_after[0] == stage else None
+
+        raw = spark.read.parquet(transcripts_path)
+        in_bytes = _dir_bytes(transcripts_path)
+        turns = R.with_latency(raw.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+        committed["prep"] = self._write_stage(
+            turns, "prep", F.date_format(F.col("ts"), "yyyy-MM-dd"),
+            fail_after=fa("prep"), input_bytes=in_bytes,
+        )
+
+        prep = spark.read.parquet(self._stage_dir("prep"))
+        day_of_bucket = F.date_format(F.timestamp_seconds(F.col("bucket")), "yyyy-MM-dd")
+
+        t1m = R.rollup_raw_to_tier(prep, "1m")
+        committed["1m"] = self._write_stage(
+            t1m, "1m", day_of_bucket, fail_after=fa("1m"),
+            input_bytes=_dir_bytes(self._stage_dir("prep")),
+        )
+
+        m = spark.read.parquet(self._stage_dir("1m"))
+        t1h = R.reaggregate(m.drop("day"), "1h")
+        committed["1h"] = self._write_stage(
+            t1h, "1h", day_of_bucket, fail_after=fa("1h"),
+            input_bytes=_dir_bytes(self._stage_dir("1m")),
+        )
+
+        h = spark.read.parquet(self._stage_dir("1h"))
+        t1d = R.reaggregate(h.drop("day"), "1d")
+        committed["1d"] = self._write_stage(
+            t1d, "1d", day_of_bucket, fail_after=fa("1d"),
+            input_bytes=_dir_bytes(self._stage_dir("1h")),
+        )
+        return committed
+
+    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        return spark.read.parquet(self._stage_dir(tier)).drop("day")
