@@ -1,0 +1,92 @@
+"""Compression roundtrip property tests (FIXTURES.md §6): decode(encode(x))
+== x exactly — timestamps as int64, values bitwise float64 — over adversarial
+vectors and the Spark applyInPandas layer."""
+
+import numpy as np
+import pytest
+
+from tsengine import compress as C
+
+
+def _roundtrip(ts, vals):
+    blk = C.encode_block(np.array(ts, dtype=np.int64), np.array(vals, dtype=np.float64))
+    dts, dvals = C.decode_block(blk)
+    assert dts.tolist() == list(ts)
+    got = np.asarray(dvals, dtype=np.float64).view(np.uint64)
+    exp = np.array(vals, dtype=np.float64).view(np.uint64)
+    assert got.tolist() == exp.tolist(), "values not bitwise equal"
+    return blk
+
+
+def test_constant_values_xor_zero_path():
+    ts = list(range(1000, 1000 + 300 * 50, 300))
+    _roundtrip(ts, [42.5] * 50)
+
+
+def test_regular_timestamps_dod_zero_path():
+    ts = list(range(0, 60 * 1000, 60))
+    vals = np.linspace(-5, 5, 1000).tolist()
+    blk = _roundtrip(ts, vals)
+    # regular grid: all dods are 0 -> ts block ~ (32 + (n-2)) bits
+    assert len(blk["ts_block"]) <= (32 + 998 + 16) // 8 + 2
+
+
+def test_irregular_timestamps_and_heavy_tail():
+    rng = np.random.RandomState(42)
+    gaps = np.ceil(rng.lognormal(3, 1.5, size=500)).astype(np.int64)
+    gaps[::50] += 100000  # multi-hour jumps -> 64-bit escape path
+    ts = 1398895200 + np.cumsum(gaps)
+    vals = rng.standard_cauchy(500) * 1e6  # heavy tail doubles
+    _roundtrip(ts.tolist(), vals.tolist())
+
+
+def test_alternating_sign_and_specials():
+    ts = list(range(10, 100, 7))
+    vals = [1.0, -1.0, 2.5, -2.5, 0.0, -0.0, 1e-308, 1e308, 3.14, -3.14, 7.0, -7.0, 0.1]
+    _roundtrip(ts, vals)
+
+
+def test_single_and_two_point_blocks():
+    _roundtrip([5], [1.25])
+    _roundtrip([5, 17], [1.25, -9.5])
+
+
+def test_negative_dod_buckets():
+    # exercise each dod bucket: 0, ±7bit, ±9bit, ±12bit, 64bit
+    deltas = [100, 100, 160, 100, 350, 100, 2100, 100, 100000, 100]
+    ts = np.cumsum([1000] + deltas).tolist()
+    vals = list(np.arange(len(ts), dtype=float))
+    _roundtrip(ts, vals)
+
+
+def test_compression_ratio_on_transcript_like_data():
+    rng = np.random.RandomState(7)
+    gaps = np.ceil(rng.lognormal(3, 1.2, size=5000)).astype(np.int64)
+    ts = 1398895200 + np.cumsum(gaps)
+    vals = gaps.astype(np.float64)  # latency plane: small ints as doubles
+    blk = C.encode_block(ts, vals)
+    raw = 16 * len(ts)
+    packed = len(blk["ts_block"]) + len(blk["val_block"]) + 20
+    assert packed < raw * 0.7, f"ratio {packed/raw:.2f}"
+
+
+def test_spark_roundtrip(spark):
+    from tsengine.core import from_ts_lists
+
+    rng = np.random.RandomState(3)
+    series = []
+    for s in range(5):
+        gaps = np.ceil(rng.lognormal(3, 1.0, size=200)).astype(np.int64)
+        ts = 1398895200 + np.cumsum(gaps)
+        vals = rng.normal(size=200) * 100
+        series.append(list(zip(ts.tolist(), vals.tolist())))
+    df = from_ts_lists(spark, series)
+    blocks = C.compress_series(df)
+    assert blocks.count() == 5
+    back = C.decompress_series(blocks)
+    orig = sorted(map(tuple, df.collect()))
+    got = sorted(map(tuple, back.select("series_id", "epoch", "value").collect()))
+    assert len(orig) == len(got)
+    for (s1, e1, v1), (s2, e2, v2) in zip(orig, got):
+        assert (s1, e1) == (s2, e2)
+        assert np.float64(v1).view(np.uint64) == np.float64(v2).view(np.uint64)

@@ -1,0 +1,354 @@
+"""Gorilla XOR value compression + delta-of-delta timestamp compression
+(BASELINE.json north_rule), implemented from the public Gorilla paper
+(Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time Series
+Database", VLDB 2015, §4.1-4.2) as pandas/Arrow kernels driven by
+``applyInPandas`` over per-series sorted batches — Spark sees one vectorized
+UDF per block, never per-row Python.
+
+Timestamp encoding (§4.1): store first_ts in the block header; the first
+delta as a 32-bit value; each subsequent delta-of-delta D with the paper's
+variable codes, extended with a 64-bit escape for arbitrary gaps:
+
+    D == 0                  -> '0'
+    -63 <= D <= 64          -> '10'   + 7 bits (value stored as D + 63)
+    -255 <= D <= 256        -> '110'  + 9 bits (D + 255)
+    -2047 <= D <= 2048      -> '1110' + 12 bits (D + 2047)
+    else                    -> '1111' + 64 bits (two's complement)
+
+Value encoding (§4.2): first value raw in the header; each next value XORed
+with the previous:
+
+    xor == 0                          -> '0'
+    leading/meaningful window reusable -> '10' + meaningful bits
+    else                              -> '11' + 6b leading + 6b length
+                                              + meaningful bits
+
+Bit packing is numpy-vectorized: per-element (code, bitlength) pairs are
+computed columnwise, then scattered into one bit array with cumsum offsets —
+no per-element Python in the hot loop for encode.  Decode is inherently
+sequential (variable-length prefix codes) and runs as a tight per-block
+loop inside the same Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ------------------------------------------------------------------ bit helpers
+def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Scatter (code, bitlength<=128) pairs into a packed big-endian bitstream.
+
+    Vectorized: explode each code into its bit positions via repeat + cumsum
+    arithmetic, then np.packbits.
+    """
+    total = int(lengths.sum())
+    if total == 0:
+        return b""
+    # bit index where each code starts
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    # for each output bit: which code it belongs to and its offset inside it
+    owner = np.repeat(np.arange(len(codes)), lengths)
+    offset = np.arange(total) - np.repeat(starts, lengths)
+    shift = (lengths[owner] - 1 - offset).astype(np.uint64)
+    bits = (codes[owner] >> shift) & np.uint64(1)
+    return np.packbits(bits.astype(np.uint8)).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        b = self.bits
+        p = self.pos
+        for i in range(n):
+            v = (v << 1) | int(b[p + i])
+        self.pos = p + n
+        return v
+
+
+# ------------------------------------------------------------------ timestamps
+_U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode int64 epochs (sorted).  Excludes the header
+    (first_ts, n) which the caller stores in the block struct."""
+    ts = np.asarray(ts, dtype=np.int64)
+    if len(ts) <= 1:
+        return b""
+    deltas = np.diff(ts)
+    first_delta = deltas[0]
+    dod = np.diff(deltas)  # len n-2
+
+    # classify each dod into a bucket
+    codes_list = [np.array([(first_delta & 0xFFFFFFFF)], dtype=_U64)]
+    lens_list = [np.array([32], dtype=np.int64)]
+
+    if len(dod):
+        zero = dod == 0
+        b7 = (~zero) & (dod >= -63) & (dod <= 64)
+        b9 = (~zero) & (~b7) & (dod >= -255) & (dod <= 256)
+        b12 = (~zero) & (~b7) & (~b9) & (dod >= -2047) & (dod <= 2048)
+        b64 = ~(zero | b7 | b9 | b12)
+
+        codes = np.zeros(len(dod), dtype=_U64)
+        lens = np.zeros(len(dod), dtype=np.int64)
+        codes[zero] = 0
+        lens[zero] = 1
+        codes[b7] = (_U64(0b10) << _U64(7)) | (dod[b7] + 63).astype(_U64)
+        lens[b7] = 9
+        codes[b9] = (_U64(0b110) << _U64(9)) | (dod[b9] + 255).astype(_U64)
+        lens[b9] = 12
+        codes[b12] = (_U64(0b1110) << _U64(12)) | (dod[b12] + 2047).astype(_U64)
+        lens[b12] = 16
+        # 64-bit escape needs 68 bits > 64: emit as two codes (prefix, payload)
+        if b64.any():
+            # interleave: build combined arrays with extra entries
+            idx = np.where(b64)[0]
+            codes[b64] = _U64(0b1111)
+            lens[b64] = 4
+            payload = dod[b64].astype(np.int64).view(np.uint64)
+            # splice payload codes right after their prefixes
+            order = np.argsort(
+                np.concatenate([np.arange(len(dod)) * 2, idx * 2 + 1]), kind="stable"
+            )
+            codes = np.concatenate([codes, payload])[order]
+            lens = np.concatenate([lens, np.full(len(idx), 64, dtype=np.int64)])[order]
+        codes_list.append(codes)
+        lens_list.append(lens)
+
+    return _pack_codes(np.concatenate(codes_list), np.concatenate(lens_list))
+
+
+def decode_timestamps(data: bytes, first_ts: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_ts
+    if n == 1:
+        return out
+    r = _BitReader(data)
+    first_delta = r.take(32)
+    if first_delta >= 1 << 31:
+        first_delta -= 1 << 32
+    out[1] = first_ts + first_delta
+    delta = first_delta
+    for i in range(2, n):
+        if r.take(1) == 0:
+            dod = 0
+        elif r.take(1) == 0:
+            dod = r.take(7) - 63
+        elif r.take(1) == 0:
+            dod = r.take(9) - 255
+        elif r.take(1) == 0:
+            dod = r.take(12) - 2047
+        else:
+            dod = r.take(64)
+            if dod >= 1 << 63:
+                dod -= 1 << 64
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ------------------------------------------------------------------ values
+def encode_values(vals: np.ndarray) -> bytes:
+    """Gorilla XOR-encode float64 values (first value in the header)."""
+    v = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    if len(v) <= 1:
+        return b""
+    xor = v[1:] ^ v[:-1]
+
+    n = len(xor)
+    codes = np.zeros(n, dtype=object)  # python ints: codes can exceed 64 bits
+    lens = np.zeros(n, dtype=np.int64)
+
+    # leading / trailing zero counts, vectorized via bit tricks
+    lz = _clz64(xor)
+    tz = _ctz64(xor)
+    zero = xor == 0
+
+    # previous meaningful window (leading, trailing) — sequential dependency:
+    # the '10' control bit reuses the PREVIOUS block's window (paper §4.2).
+    # This part is a tight python loop over the block (not per Spark row).
+    prev_l, prev_t = 65, 65  # invalid -> force '11' first
+    out_codes = []
+    out_lens = []
+    xor_int = [int(x) for x in xor]
+    lz_l = [int(x) for x in lz]
+    tz_l = [int(x) for x in tz]
+    for i in range(n):
+        if zero[i]:
+            out_codes.append(0)
+            out_lens.append(1)
+            continue
+        l, t = min(lz_l[i], 31), tz_l[i]
+        if prev_l <= 64 and l >= prev_l and t >= prev_t:
+            mbits = 64 - prev_l - prev_t
+            code = (0b10 << mbits) | (xor_int[i] >> prev_t)
+            out_codes.append(code)
+            out_lens.append(2 + mbits)
+        else:
+            mbits = 64 - l - t
+            code = (0b11 << 6) | l
+            code = (code << 6) | (mbits & 0x3F)  # 64 encodes as 0 (never: xor!=0)
+            code = (code << mbits) | (xor_int[i] >> t)
+            out_codes.append(code)
+            out_lens.append(2 + 12 + mbits)
+            prev_l, prev_t = l, t
+    # pack with python-int-aware packing (codes may exceed 64 bits)
+    return _pack_codes_obj(out_codes, np.array(out_lens, dtype=np.int64))
+
+
+def _pack_codes_obj(codes: list[int], lengths: np.ndarray) -> bytes:
+    total = int(lengths.sum())
+    if total == 0:
+        return b""
+    big = 0
+    for c, ln in zip(codes, lengths):
+        big = (big << int(ln)) | (c & ((1 << int(ln)) - 1))
+    pad = (-total) % 8
+    big <<= pad
+    return big.to_bytes((total + pad) // 8, "big")
+
+
+def decode_values(data: bytes, first_val: float, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.float64)
+    out[0] = first_val
+    if n == 1:
+        return out
+    r = _BitReader(data)
+    prev = int(np.array([first_val], dtype=np.float64).view(np.uint64)[0])
+    l, t = 0, 0
+    for i in range(1, n):
+        if r.take(1) == 0:
+            cur = prev
+        else:
+            if r.take(1) == 0:
+                mbits = 64 - l - t
+                frag = r.take(mbits)
+            else:
+                l = r.take(6)
+                mbits = r.take(6)
+                if mbits == 0:
+                    mbits = 64
+                t = 64 - l - mbits
+                frag = r.take(mbits)
+            cur = prev ^ (frag << t)
+        out[i] = np.array([cur], dtype=np.uint64).view(np.float64)[0]
+        prev = cur
+    return out
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (0 -> 64)."""
+    out = np.full(len(x), 64, dtype=np.int64)
+    nz = x != 0
+    xf = x[nz]
+    # bit_length via successive halving
+    bl = np.zeros(len(xf), dtype=np.int64)
+    cur = xf.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        cur[mask] >>= np.uint64(shift)
+    out[nz] = 63 - bl
+    return out
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (0 -> 64)."""
+    out = np.full(len(x), 64, dtype=np.int64)
+    nz = x != 0
+    xf = x[nz]
+    iso = xf & (~xf + np.uint64(1))  # lowest set bit
+    cz = _clz64(iso)
+    out[nz] = 63 - cz[np.arange(len(cz))]
+    return out
+
+
+# ------------------------------------------------------------------ blocks
+def encode_block(ts: np.ndarray, vals: np.ndarray) -> dict:
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    return {
+        "n": int(len(ts)),
+        "first_ts": int(ts[0]),
+        "first_val": float(vals[0]),
+        "ts_block": encode_timestamps(ts),
+        "val_block": encode_values(vals),
+    }
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
+    n = block["n"]
+    return (
+        decode_timestamps(block["ts_block"], block["first_ts"], n),
+        decode_values(block["val_block"], block["first_val"], n),
+    )
+
+
+# ------------------------------------------------------------------ Spark layer
+def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col="value"):
+    """DataFrame (group, epoch, value) -> one compressed block per group via
+    applyInPandas over per-group sorted Arrow batches."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(
+        f"{c} {t}" for c, t in zip(gcols, _group_types(df, gcols))
+    )
+    schema = (
+        schema_prefix
+        + ", n int, first_ts long, first_val double, ts_block binary, val_block binary"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(epoch_col)
+        blk = encode_block(pdf[epoch_col].to_numpy(), pdf[value_col].to_numpy())
+        row = {c: [pdf[c].iloc[0]] for c in gcols}
+        row.update({k: [v] for k, v in blk.items()})
+        return pd.DataFrame(row)
+
+    return df.groupBy(*gcols).applyInPandas(kernel, schema=schema)
+
+
+def decompress_series(blocks_df, group_cols=("series_id",)):
+    """Inverse of :func:`compress_series`: blocks -> (group, epoch, value)."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(
+        f"{c} {t}" for c, t in zip(gcols, _group_types(blocks_df, gcols))
+    )
+    schema = schema_prefix + ", epoch long, value double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in pdf.iterrows():
+            ts, vals = decode_block(
+                {
+                    "n": int(row["n"]),
+                    "first_ts": int(row["first_ts"]),
+                    "first_val": float(row["first_val"]),
+                    "ts_block": bytes(row["ts_block"]),
+                    "val_block": bytes(row["val_block"]),
+                }
+            )
+            f = pd.DataFrame({"epoch": ts, "value": vals})
+            for c in gcols:
+                f[c] = row[c]
+            frames.append(f[gcols + ["epoch", "value"]])
+        return pd.concat(frames, ignore_index=True)
+
+    return blocks_df.groupBy(*gcols).applyInPandas(kernel, schema=schema)
+
+
+def _group_types(df, gcols):
+    m = dict(df.dtypes)
+    return [m[c] for c in gcols]
