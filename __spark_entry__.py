@@ -30,15 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from tsengine.plans.driver_queries import QUERIES
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    training-data pipeline ops (dedup / text / similarity / multimodal)."""
+    from tsengine.plans import driver_queries, driver_queries_data
 
-    return dict(QUERIES)
+    out = dict(driver_queries.QUERIES)
+    out.update(driver_queries_data.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI equivalents for each queries() entry (keys missing here
     get the driver's weaker rows-only check)."""
-    from tsengine.plans.driver_queries import ORACLE
+    from tsengine.plans import driver_queries, driver_queries_data
 
-    return dict(ORACLE)
+    out = dict(driver_queries.ORACLE)
+    out.update(driver_queries_data.ORACLE)
+    return out

@@ -1,0 +1,132 @@
+"""Tests for training-data pipeline operators: text analysis, dedup
+(exact/minhash/simhash/jaccard/embedding), similarity search, multimodal
+plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too"),
+        (1, "the cat sat on the mat and the dog sat too"),        # exact dup of 0
+        (2, "the cat sat on the mat and the dog stood too"),      # near dup
+        (3, "el perro y el gato que corren en la casa de los"),
+        (4, "completely different words about spark query engines"),
+        (5, "  the   cat sat on the mat and the dog sat too  "),  # ws-normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: (r["n_tokens"], r["n_tokens_bpe"]) for r in textops.token_count(docs).collect()}
+    assert out[0][0] == 11
+    assert out[4][0] == 7
+    assert out[5][0] == 11  # trimmed + split on runs
+
+
+def test_quality_and_langid(spark, docs):
+    q = {r["doc_id"]: r for r in textops.quality_score(docs).collect()}
+    assert q[0]["stop_ratio"] > q[4]["stop_ratio"]
+    lang = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "es"
+
+
+def test_fingerprint_normalizes_whitespace(spark, docs):
+    fp = {r["doc_id"]: r["fp_md5"] for r in textops.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[5]
+    assert fp[0] != fp[2]
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup.dedup_exact(docs).collect()
+    groups = {r["keep_doc_id"]: r["n_dupes"] for r in out}
+    assert groups[0] == 3  # docs 0,1,5
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs  # near dup shares most shingles
+    assert (0, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()
+    }
+    assert j[(0, 1)] == 1.0
+    assert 0.0 < j[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    out = dedup.simhash_near_dups(docs, bits=16, max_hamming=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=16).collect()}
+    assert sig[0] == sig[1] == sig[5]
+    assert sig[0] != sig[4]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, base[i].astype("float32").tolist()))
+    # 8 is a near-copy of 0
+    rows.append((8, (base[0] + rng.normal(scale=0.01, size=16)).astype("float32").tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dups(spark, emb):
+    out = dedup.embedding_near_dups(emb, threshold=0.9, planes=4)
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
+    assert (0, 8) in pairs and pairs[(0, 8)] > 0.99
+
+
+def test_cosine_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = similarity.cosine_topk_bruteforce(emb, list(q), k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert top[1]["vec_id"] == 8
+
+
+def test_ivf_matches_bruteforce_on_probed_cells(spark, emb):
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    cents = similarity.train_centroids(emb, n_cells=2, iters=3)
+    ivf = similarity.ivf_topk(emb, q, cents, k=1, nprobe=2)  # nprobe=all -> exact
+    bf = similarity.cosine_topk_bruteforce(emb, q, k=1)
+    assert ivf.first()["vec_id"] == bf.first()["vec_id"]
+
+
+def test_knn_all_pairs(spark, emb):
+    out = similarity.knn_all_pairs_topk(emb, k=1)
+    by_id = {r["vec_id"]: r["neighbor"] for r in out.collect()}
+    assert by_id[0] == 8 and by_id[8] == 0
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=12)
+    img = multimodal.image_features(media, target=(4, 4)).collect()
+    assert len(img) == 4  # kinds cycle image/audio/video
+    assert all(len(r["feature"]) == 16 for r in img)
+    aud = multimodal.audio_features(media, n_bands=6).collect()
+    assert len(aud) == 4 and all(len(r["feature"]) == 6 for r in aud)
+    vid = multimodal.video_frame_sample(media, every_n=24).collect()
+    assert len(vid) == 16  # 4 videos x 96 frames / 24
+    # determinism
+    img2 = multimodal.image_features(media, target=(4, 4)).collect()
+    assert sorted(map(tuple, img)) == sorted(map(tuple, img2))

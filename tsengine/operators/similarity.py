@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (task brief): brute-force cosine
+top-k baseline + an IVF-style (centroid-bucketed) scale path.
+
+The dot products are pure higher-order array functions (F.zip_with /
+F.aggregate) — JVM-side, no Python UDF.  The brute-force path broadcasts the
+query vector as a literal array; the IVF path prunes to the nearest
+`nprobe` centroid partitions before scoring — the plan a 100 TB corpus
+needs (score ~nprobe/k of the data instead of all of it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.  One scan + a
+    TakeOrderedAndProject (no full sort)."""
+    q = F.lit([float(x) for x in query])
+    v = F.col(vec_col)
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    scored = emb.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_all_pairs_topk(
+    emb: DataFrame, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Top-k neighbors for EVERY vector.  With bucket_col (e.g. an LSH or
+    IVF assignment) the self-join is per-bucket; without it this is the exact
+    O(n²) baseline — only for small n."""
+    e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                   *( [F.col(bucket_col).alias("bkt")] if bucket_col else []))
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.vid") != F.col("b.vid")
+    if bucket_col:
+        cond = cond & (F.col("a.bkt") == F.col("b.bkt"))
+        joined = a.join(b, cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
+    scored = joined.select(
+        F.col("a.vid").alias("vec_id"), F.col("b.vid").alias("neighbor"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2) — the IVF
+    coarse quantizer.  Centroids are literals (broadcast by construction)."""
+    v = F.col(vec_col)
+    dists = [
+        F.aggregate(
+            F.zip_with(v, F.lit([float(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    best = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(dists)):
+        cond = dists[i] < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    return emb.select(F.col(id_col).alias("vec_id"), v.alias(vec_col), best.alias("ivf_cell"))
+
+
+def train_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 5, seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Tiny k-means on a driver-side sample (the IVF coarse codebook is
+    always tiny; training on a bounded sample is standard)."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(4096).collect()], dtype="float64"
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    return [c.tolist() for c in cents]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the `nprobe` cells nearest to the query.
+    At scale the table is written bucketed by ivf_cell so this prunes
+    partitions at the scan."""
+    import numpy as np
+
+    q = np.array(query, dtype="float64")
+    cents = np.array(centroids, dtype="float64")
+    order = (((cents - q) ** 2).sum(1)).argsort()[:nprobe].tolist()
+    assigned = ivf_assign(emb, centroids, vec_col, id_col)
+    pruned = assigned.filter(F.col("ivf_cell").isin(order))
+    return cosine_topk_bruteforce(pruned, query, k, vec_col, "vec_id")
