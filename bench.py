@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract): runs the engine's headline queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a noop sink (full compute, no driver collect).
+Also reports the north-metric tier-rollup throughput (points/sec) over the
+synthetic transcripts table as extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "q_usage_day",        # flagship: cum-meter -> distribute -> increments -> split -> sum
+    "q_usage_week",
+    "q_distribute_locf",  # grid + LOCF + bfill resample
+    "q_distribute_linear",
+    "q_increments",
+    "q_inner_sum",
+    "q_inner_std",
+    "q_last_3",
+    "q_split_hour_sum",
+    "q_rollup_1h",
+    "q_pair_product",
+    "q_meter_total",
+    "q_histogram",
+    "q_compress_roundtrip",  # Gorilla+DoD encode+decode
+    "q_dedup_exact",
+    "q_minhash",
+    "q_simhash",
+    "q_jaccard_pairs",
+    "q_knn_bruteforce",
+    "q_embedding_near_dups",
+]
+
+
+def _run_noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from tsengine.session import get_spark
+
+    spark = get_spark(
+        app_name="tsengine-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(int(cpus), 8)),
+    )
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+
+    # JVM warmup (excluded from timings)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        _run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- north metric: tier rollup throughput on synthetic transcripts ----
+    from tsengine.operators import rollup as R
+    from tsengine.synth import transcripts
+
+    n_conv = int(os.environ.get("TSENGINE_BENCH_NCONV", "1500"))
+    tdir = os.environ.get(
+        "TSENGINE_BENCH_TRANSCRIPTS", f"/tmp/tsengine_bench_transcripts_{n_conv}"
+    )
+    marker = os.path.join(tdir, "_SUCCESS")
+    if not os.path.exists(marker):
+        transcripts(spark, n_conv=n_conv, base_turns=150, hot_factor=100).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+    raw = spark.read.parquet(tdir)
+    n_turns = raw.count()
+
+    t0 = time.perf_counter()
+    turns = R.with_latency(raw)
+    tiers = R.build_all_tiers(turns, persist=True)
+    for name in ("1m", "1h", "1d"):
+        _run_noop(tiers[name])
+    for name in ("1m", "1h"):
+        tiers[name].unpersist()
+    tier_sec = time.perf_counter() - t0
+    timings["tier_pipeline_raw_1m_1h_1d"] = round(tier_sec, 3)
+
+    # compression throughput over the latency plane
+    from tsengine import compress as C
+
+    series = turns.selectExpr(
+        "cast(hash(conv_id) as long) as series_id", "epoch", "coalesce(value, 0.0) as value"
+    )
+    t0 = time.perf_counter()
+    _run_noop(C.compress_series(series))
+    timings["gorilla_compress"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "transcript_turns": n_turns,
+        "tier_points_per_sec": round(n_turns / tier_sec, 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

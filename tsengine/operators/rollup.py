@@ -172,10 +172,19 @@ def rollup_exact(turns: DataFrame, tier: str = "1m") -> DataFrame:
     return b.groupBy("conv_id", "bucket").applyInPandas(kernel, schema=schema)
 
 
-def build_all_tiers(turns: DataFrame) -> dict[str, DataFrame]:
-    """raw -> 1m, then 1m -> 1h -> 1d by partial reaggregation."""
+def build_all_tiers(turns: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
+    """raw -> 1m, then 1m -> 1h -> 1d by partial reaggregation.
+
+    persist=True caches each tier before deriving the next — otherwise lazy
+    lineage recomputes 1m for the 1h action and 1m+1h for the 1d action.
+    (The checkpointed runner materializes tiers to storage instead,
+    tsengine.checkpoint.)"""
     out: dict[str, DataFrame] = {}
     out["1m"] = rollup_raw_to_tier(turns, "1m")
+    if persist:
+        out["1m"] = out["1m"].persist()
     out["1h"] = reaggregate(out["1m"], "1h")
+    if persist:
+        out["1h"] = out["1h"].persist()
     out["1d"] = reaggregate(out["1h"], "1d")
     return out
