@@ -56,19 +56,27 @@ def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """Accumulator-based reader: O(1) small-int ops per take()."""
+
+    __slots__ = ("data", "acc", "nbits", "bytepos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+        self.data = data
+        self.acc = 0
+        self.nbits = 0
+        self.bytepos = 0
 
     def take(self, n: int) -> int:
-        v = 0
-        b = self.bits
-        p = self.pos
-        for i in range(n):
-            v = (v << 1) | int(b[p + i])
-        self.pos = p + n
+        acc, nbits, pos, d = self.acc, self.nbits, self.bytepos, self.data
+        while nbits < n:
+            acc = (acc << 8) | d[pos]
+            pos += 1
+            nbits += 8
+        nbits -= n
+        v = acc >> nbits
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.bytepos = pos
         return v
 
 
@@ -158,63 +166,46 @@ def decode_timestamps(data: bytes, first_ts: int, n: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ values
 def encode_values(vals: np.ndarray) -> bytes:
-    """Gorilla XOR-encode float64 values (first value in the header)."""
+    """Gorilla XOR-encode float64 values (first value in the header).
+
+    Fully VECTORIZED encoder: each non-zero xor is emitted as the paper's
+    '11' form — a 14-bit header ('11' + 6b leading + 6b length) plus an
+    mbits payload — as two <=64-bit codes spliced per element, packed with
+    the same cumsum scatter as the timestamps.  (The paper's '10'
+    previous-window-reuse form is an encoder OPTION with a sequential
+    dependency; the decoder below handles both, and always-'11' keeps the
+    encoder loop-free.  Cost: <=12 extra bits per changed value.)
+    """
     v = np.asarray(vals, dtype=np.float64).view(np.uint64)
     if len(v) <= 1:
         return b""
     xor = v[1:] ^ v[:-1]
-
     n = len(xor)
-    codes = np.zeros(n, dtype=object)  # python ints: codes can exceed 64 bits
-    lens = np.zeros(n, dtype=np.int64)
 
-    # leading / trailing zero counts, vectorized via bit tricks
-    lz = _clz64(xor)
+    lz = np.minimum(_clz64(xor), 31)
     tz = _ctz64(xor)
     zero = xor == 0
+    nz = ~zero
 
-    # previous meaningful window (leading, trailing) — sequential dependency:
-    # the '10' control bit reuses the PREVIOUS block's window (paper §4.2).
-    # This part is a tight python loop over the block (not per Spark row).
-    prev_l, prev_t = 65, 65  # invalid -> force '11' first
-    out_codes = []
-    out_lens = []
-    xor_int = [int(x) for x in xor]
-    lz_l = [int(x) for x in lz]
-    tz_l = [int(x) for x in tz]
-    for i in range(n):
-        if zero[i]:
-            out_codes.append(0)
-            out_lens.append(1)
-            continue
-        l, t = min(lz_l[i], 31), tz_l[i]
-        if prev_l <= 64 and l >= prev_l and t >= prev_t:
-            mbits = 64 - prev_l - prev_t
-            code = (0b10 << mbits) | (xor_int[i] >> prev_t)
-            out_codes.append(code)
-            out_lens.append(2 + mbits)
-        else:
-            mbits = 64 - l - t
-            code = (0b11 << 6) | l
-            code = (code << 6) | (mbits & 0x3F)  # 64 encodes as 0 (never: xor!=0)
-            code = (code << mbits) | (xor_int[i] >> t)
-            out_codes.append(code)
-            out_lens.append(2 + 12 + mbits)
-            prev_l, prev_t = l, t
-    # pack with python-int-aware packing (codes may exceed 64 bits)
-    return _pack_codes_obj(out_codes, np.array(out_lens, dtype=np.int64))
+    mbits = np.where(nz, 64 - lz - tz, 0)
+    # per-element primary code: '0' for zero-xor, else the 14-bit header
+    header = (_U64(0b11) << _U64(12)) | (lz.astype(_U64) << _U64(6)) | (
+        (mbits & 63).astype(_U64)
+    )
+    codes = np.where(zero, _U64(0), header.astype(np.uint64))
+    lens = np.where(zero, 1, 14).astype(np.int64)
 
+    if nz.any():
+        idx = np.where(nz)[0]
+        payload = (xor[nz] >> tz[nz].astype(_U64)).astype(_U64)
+        plens = mbits[nz].astype(np.int64)
+        order = np.argsort(
+            np.concatenate([np.arange(n) * 2, idx * 2 + 1]), kind="stable"
+        )
+        codes = np.concatenate([codes, payload])[order]
+        lens = np.concatenate([lens, plens])[order]
 
-def _pack_codes_obj(codes: list[int], lengths: np.ndarray) -> bytes:
-    total = int(lengths.sum())
-    if total == 0:
-        return b""
-    big = 0
-    for c, ln in zip(codes, lengths):
-        big = (big << int(ln)) | (c & ((1 << int(ln)) - 1))
-    pad = (-total) % 8
-    big <<= pad
-    return big.to_bytes((total + pad) // 8, "big")
+    return _pack_codes(codes, lens)
 
 
 def decode_values(data: bytes, first_val: float, n: int) -> np.ndarray:
