@@ -37,22 +37,48 @@ import numpy as np
 
 # ------------------------------------------------------------------ bit helpers
 def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
-    """Scatter (code, bitlength<=128) pairs into a packed big-endian bitstream.
+    """Scatter (code, bitlength<=64) pairs into a packed big-endian bitstream.
 
-    Vectorized: explode each code into its bit positions via repeat + cumsum
-    arithmetic, then np.packbits.
+    Byte-splice strategy: each code is positioned inside a 9-byte window
+    starting at its start byte (64 bits + up to 7 bits of misalignment spans
+    at most 9 bytes), split into 9 per-column byte planes, and accumulated
+    with ``np.bincount``.  Bits of distinct codes never overlap, so within a
+    byte the contributions are disjoint and OR == ADD — bincount (a fast C
+    histogram) is a valid bitwise-OR scatter.  Memory traffic is a few tens
+    of bytes per code instead of ~50 bytes per BIT for the previous
+    repeat/arange explosion — the difference between a memory-bandwidth-bound
+    kernel (stops scaling past ~8 workers on one socket) and a compute-bound
+    one.
     """
     total = int(lengths.sum())
     if total == 0:
         return b""
-    # bit index where each code starts
+    nbytes = (total + 7) // 8
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    # for each output bit: which code it belongs to and its offset inside it
-    owner = np.repeat(np.arange(len(codes)), lengths)
-    offset = np.arange(total) - np.repeat(starts, lengths)
-    shift = (lengths[owner] - 1 - offset).astype(np.uint64)
-    bits = (codes[owner] >> shift) & np.uint64(1)
-    return np.packbits(bits.astype(np.uint8)).tobytes()
+    bytestart = (starts >> 3).astype(np.int64)
+    bitoff = (starts & 7).astype(np.int64)
+    # shift of the code's LSB inside the 72-bit window anchored at bytestart
+    sh = 72 - bitoff - lengths  # in [1, 71]
+    codes = codes.astype(np.uint64)
+    ge8 = sh >= 8
+    sh_hi = np.where(ge8, sh - 8, 0).astype(np.uint64)     # code << (sh-8)
+    sh_lo = np.where(ge8, 0, 8 - sh).astype(np.uint64)     # code >> (8-sh)
+    hi64 = np.where(ge8, codes << sh_hi, codes >> sh_lo)   # top 8 window bytes
+    lob = np.where(ge8, np.uint64(0), (codes << sh.astype(np.uint64)))
+    lob = (lob & np.uint64(0xFF)).astype(np.uint8)          # 9th window byte
+
+    # 9 byte planes: big-endian bytes of hi64, then lob; one bincount scatter
+    planes = np.concatenate(
+        [hi64.reshape(-1, 1).view(np.uint8)[:, ::-1], lob.reshape(-1, 1)], axis=1
+    )  # (n, 9)
+    idx = bytestart.reshape(-1, 1) + np.arange(9, dtype=np.int64)
+    flat_v = planes.reshape(-1)
+    nz = flat_v != 0
+    buf = np.bincount(
+        idx.reshape(-1)[nz], weights=flat_v[nz].astype(np.float64),
+        minlength=nbytes + 9,
+    )
+    return buf[:nbytes].astype(np.uint8).tobytes()
 
 
 class _BitReader:
@@ -286,8 +312,17 @@ def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
 
 # ------------------------------------------------------------------ Spark layer
 def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col="value"):
-    """DataFrame (group, epoch, value) -> one compressed block per group via
-    applyInPandas over per-group sorted Arrow batches."""
+    """DataFrame (group, epoch, value) -> one compressed block per group.
+
+    Scale design: ``repartition(group) + sortWithinPartitions(group, epoch) +
+    mapInPandas`` rather than per-group ``applyInPandas`` — each Python call
+    processes a whole Arrow batch of MANY series (split on group boundaries
+    with numpy, partial trailing series carried into the next batch), so the
+    per-call pandas/Arrow overhead is amortized over ~10^4 rows instead of
+    being paid once per series.  Repartitioning on the group keys guarantees
+    each series is wholly inside one partition, so carry-over never crosses
+    a partition boundary.
+    """
     import pandas as pd
 
     gcols = list(group_cols)
@@ -298,15 +333,50 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
         schema_prefix
         + ", n int, first_ts long, first_val double, ts_block binary, val_block binary"
     )
+    out_cols = gcols + ["n", "first_ts", "first_val", "ts_block", "val_block"]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(epoch_col)
-        blk = encode_block(pdf[epoch_col].to_numpy(), pdf[value_col].to_numpy())
-        row = {c: [pdf[c].iloc[0]] for c in gcols}
-        row.update({k: [v] for k, v in blk.items()})
-        return pd.DataFrame(row)
+    def encode_run(keys, epochs, values, rows):
+        blk = encode_block(epochs, values)
+        rows.append(
+            tuple(keys) + (blk["n"], blk["first_ts"], blk["first_val"],
+                           blk["ts_block"], blk["val_block"])
+        )
 
-    return df.groupBy(*gcols).applyInPandas(kernel, schema=schema)
+    def kernel(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            gv = [pdf[c].to_numpy() for c in gcols]
+            # boundaries where any group column changes
+            change = np.zeros(len(pdf) - 1, dtype=bool)
+            for g in gv:
+                change |= g[1:] != g[:-1]
+            bounds = np.concatenate(([0], np.where(change)[0] + 1, [len(pdf)]))
+            # last run may continue in the next batch — carry it
+            carry = pdf.iloc[bounds[-2]:].copy()
+            ep = pdf[epoch_col].to_numpy()
+            va = pdf[value_col].to_numpy()
+            rows = []
+            for i in range(len(bounds) - 2):
+                lo, hi = bounds[i], bounds[i + 1]
+                encode_run([g[lo] for g in gv], ep[lo:hi], va[lo:hi], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+        if carry is not None and len(carry):
+            gv = [carry[c].to_numpy() for c in gcols]
+            rows = []
+            encode_run(
+                [g[0] for g in gv],
+                carry[epoch_col].to_numpy(), carry[value_col].to_numpy(), rows,
+            )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    part = df.repartition(*gcols).sortWithinPartitions(*gcols, epoch_col)
+    return part.mapInPandas(kernel, schema=schema)
 
 
 def decompress_series(blocks_df, group_cols=("series_id",)):

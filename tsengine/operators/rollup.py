@@ -36,18 +36,27 @@ def with_latency(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _dist_agg(df: DataFrame, keys: list, col: str, out: str) -> DataFrame:
-    """count-per-key -> map<string,long> distribution, deterministic order."""
-    return (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(*keys, col)
-        .agg(F.count("*").alias("_c"))
-        .groupBy(*keys)
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(F.col(col), F.col("_c"))))
-            ).alias(out)
-        )
+def _merge_maps(list_col: str):
+    """Fold a collected array of map<string,long> into one map, summing values
+    per key (JVM-side higher-order functions — no UDF, no extra shuffle), with
+    entries sorted by key for deterministic output bytes."""
+    merged = (
+        f"aggregate(filter({list_col}, m -> m is not null), "
+        "cast(map() as map<string,bigint>), "
+        "(acc, m) -> map_zip_with(acc, m, (k, a, b) -> coalesce(a, 0L) + coalesce(b, 0L)))"
+    )
+    return F.expr(f"map_from_entries(array_sort(map_entries({merged})))")
+
+
+def _count_map(list_col: str):
+    """Fold a collected array of strings into a map<string,long> of value
+    counts (collect_list already drops nulls), entries sorted by key.
+    Implemented as distinct + per-key filter-count — O(distinct x n) over a
+    bucket-bounded array, all inside whole-stage codegen, no per-element
+    map allocation."""
+    return F.expr(
+        f"map_from_entries(transform(array_sort(array_distinct({list_col})), "
+        f"x -> struct(x, cast(size(filter({list_col}, y -> y = x)) as bigint))))"
     )
 
 
@@ -56,24 +65,34 @@ def rollup_raw_to_tier(turns: DataFrame, tier: str = "1m") -> DataFrame:
 
     Output: conv_id, tier, bucket(long epoch), cnt, cnt_lat, vmin, vmax,
     vsum, vmean, role_dist, tool_dist.
+
+    Scale design: ONE scan of the raw table and ONE shuffle, keyed on
+    (conv_id, bucket).  Distributions are built by collecting the bucket's
+    role/tool values (bounded: a 1m bucket holds at most ~turn-rate x 60
+    rows) and folding them into count maps with JVM-side higher-order
+    functions — no joins, no second aggregate.  (Earlier designs ran three
+    groupBys over raw plus two joins — 3 scans of 100 TB instead of 1 — or
+    a two-level groupBy whose (conv, bucket, role, tool) first key barely
+    reduced sparse-turn data, paying a full extra ObjectHashAggregate pass.)
+    Coarser tiers never re-read raw: see :func:`reaggregate`.
     """
     width = TIERS[tier]
     b = turns.withColumn(
         "bucket", (F.lit(width) * F.floor(F.col("epoch") / F.lit(width))).cast("long")
     )
-    keys = ["conv_id", "bucket"]
-    core = b.groupBy(*keys).agg(
-        F.count("*").alias("cnt"),
-        F.count("value").alias("cnt_lat"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.sum("value").alias("vsum"),
-    )
-    roles = _dist_agg(b, keys, "role", "role_dist")
-    tools = _dist_agg(b, keys, "tool", "tool_dist")
     out = (
-        core.join(roles, keys, "left")
-        .join(tools, keys, "left")
+        b.groupBy("conv_id", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count("value").alias("cnt_lat"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+            F.collect_list("role").alias("_roles"),
+            F.collect_list("tool").alias("_tools"),
+        )
+        .withColumn("role_dist", _count_map("_roles"))
+        .withColumn("tool_dist", _count_map("_tools"))
         .withColumn("vmean", F.col("vsum") / F.nullif(F.col("cnt_lat"), F.lit(0)))
         .withColumn("tier", F.lit(tier))
     )
@@ -86,38 +105,25 @@ def rollup_raw_to_tier(turns: DataFrame, tier: str = "1m") -> DataFrame:
 def reaggregate(finer: DataFrame, tier: str) -> DataFrame:
     """Partial reaggregation: finer tier -> coarser tier without touching raw
     data.  Valid for cnt/min/max/sum (mean recomputed from sum/count);
-    distributions merge by exploding the maps and re-counting."""
+    distributions merge with a map_zip_with fold over the collected finer
+    maps (<= width-ratio small maps per group) — one shuffle, no joins."""
     width = TIERS[tier]
     b = finer.withColumn(
         "bucket2", (F.lit(width) * F.floor(F.col("bucket") / F.lit(width))).cast("long")
     )
-    keys = ["conv_id", "bucket2"]
-    core = b.groupBy(*keys).agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("cnt_lat").alias("cnt_lat"),
-        F.min("vmin").alias("vmin"),
-        F.max("vmax").alias("vmax"),
-        F.sum("vsum").alias("vsum"),
-    )
-
-    def merge_dist(col):
-        e = (
-            b.filter(F.col(col).isNotNull())
-            .select(*keys, F.explode(col).alias("_k", "_v"))
-            .groupBy(*keys, "_k")
-            .agg(F.sum("_v").alias("_c"))
-            .groupBy(*keys)
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct(F.col("_k"), F.col("_c"))))
-                ).alias(col)
-            )
-        )
-        return e
-
     out = (
-        core.join(merge_dist("role_dist"), keys, "left")
-        .join(merge_dist("tool_dist"), keys, "left")
+        b.groupBy("conv_id", "bucket2")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("cnt_lat").alias("cnt_lat"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+            F.collect_list("role_dist").alias("_role_maps"),
+            F.collect_list("tool_dist").alias("_tool_maps"),
+        )
+        .withColumn("role_dist", _merge_maps("_role_maps"))
+        .withColumn("tool_dist", _merge_maps("_tool_maps"))
         .withColumn("vmean", F.col("vsum") / F.nullif(F.col("cnt_lat"), F.lit(0)))
         .withColumn("tier", F.lit(tier))
         .withColumnRenamed("bucket2", "bucket")
