@@ -90,10 +90,14 @@ def main():
         ).parquet(tdir)
     raw = spark.read.parquet(tdir)
     n_turns = raw.count()
+    role_vocab = R._vocab(raw, "role")
+    tool_vocab = R._vocab(raw, "tool")
 
     t0 = time.perf_counter()
     turns = R.with_latency(raw)
-    tiers = R.build_all_tiers(turns, persist=True)
+    tiers = R.build_all_tiers(
+        turns, persist=True, role_vocab=role_vocab, tool_vocab=tool_vocab
+    )
     for name in ("1m", "1h", "1d"):
         _run_noop(tiers[name])
     for name in ("1m", "1h"):

@@ -90,3 +90,31 @@ def test_spark_roundtrip(spark):
     for (s1, e1, v1), (s2, e2, v2) in zip(orig, got):
         assert (s1, e1) == (s2, e2)
         assert np.float64(v1).view(np.uint64) == np.float64(v2).view(np.uint64)
+
+
+def test_batch_encoder_matches_single_series():
+    """encode_blocks_batch over concatenated series == encode_timestamps/
+    encode_values per series, byte for byte."""
+    import numpy as np
+
+    from tsengine import compress as C
+
+    rng = np.random.default_rng(7)
+    sizes = [1, 2, 3, 450, 17, 1000]
+    parts_ts, parts_v = [], []
+    for n in sizes:
+        parts_ts.append(np.cumsum(rng.integers(1, 5000, size=n)) + 1700000000)
+        parts_v.append(np.round(rng.normal(0, 1e6, size=n), 3))
+    ts = np.concatenate(parts_ts)
+    vals = np.concatenate(parts_v)
+    bounds = np.concatenate(([0], np.cumsum(sizes)))
+    ns, ft, fv, tb, vb = C.encode_blocks_batch(ts, vals, bounds)
+    assert list(ns) == sizes
+    for i, n in enumerate(sizes):
+        assert ft[i] == parts_ts[i][0]
+        assert fv[i] == parts_v[i][0]
+        assert tb[i] == C.encode_timestamps(parts_ts[i]), f"ts stream {i}"
+        assert vb[i] == C.encode_values(parts_v[i]), f"val stream {i}"
+        # and decodes back exactly
+        assert np.array_equal(C.decode_timestamps(tb[i], int(ft[i]), n), parts_ts[i])
+        assert np.array_equal(C.decode_values(vb[i], float(fv[i]), n), parts_v[i])

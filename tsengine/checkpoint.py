@@ -191,21 +191,26 @@ class RollupJob:
         prep = spark.read.parquet(self._stage_dir("prep"))
         day_of_bucket = F.date_format(F.timestamp_seconds(F.col("bucket")), "yyyy-MM-dd")
 
-        t1m = R.rollup_raw_to_tier(prep, "1m")
+        # vocabulary detected once per run, reused by every tier build (each
+        # rollup would otherwise re-scan distinct role/tool per invocation)
+        rv = R._vocab(prep, "role")
+        tv = R._vocab(prep, "tool")
+
+        t1m = R.rollup_raw_to_tier(prep, "1m", role_vocab=rv, tool_vocab=tv)
         committed["1m"] = self._write_stage(
             t1m, "1m", day_of_bucket, fail_after=fa("1m"),
             input_bytes=_dir_bytes(self._stage_dir("prep")),
         )
 
         m = spark.read.parquet(self._stage_dir("1m"))
-        t1h = R.reaggregate(m.drop("day"), "1h")
+        t1h = R.reaggregate(m.drop("day"), "1h", role_vocab=rv, tool_vocab=tv)
         committed["1h"] = self._write_stage(
             t1h, "1h", day_of_bucket, fail_after=fa("1h"),
             input_bytes=_dir_bytes(self._stage_dir("1m")),
         )
 
         h = spark.read.parquet(self._stage_dir("1h"))
-        t1d = R.reaggregate(h.drop("day"), "1d")
+        t1d = R.reaggregate(h.drop("day"), "1d", role_vocab=rv, tool_vocab=tv)
         committed["1d"] = self._write_stage(
             t1d, "1d", day_of_bucket, fail_after=fa("1d"),
             input_bytes=_dir_bytes(self._stage_dir("1h")),

@@ -289,16 +289,193 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------------------ batch API
+def _pack_streams(codes, lengths, owner, n_series):
+    """Pack (code, bitlen<=64) pairs belonging to ``n_series`` independent
+    byte-aligned streams (``owner`` maps each code to its stream; codes are
+    in stream order and streams are contiguous) with ONE bincount scatter.
+    Returns a list of per-stream bytes.
+
+    This is the batch generalization of :func:`_pack_codes`: per-code global
+    bit positions offset each stream to its own byte range, so thousands of
+    series in an Arrow batch are packed by a single set of numpy passes
+    instead of ~40 numpy calls per series.
+    """
+    if len(codes) == 0:
+        return [b""] * n_series
+    lengths = lengths.astype(np.int64)
+    series_bits = np.bincount(owner, weights=lengths, minlength=n_series).astype(
+        np.int64
+    )
+    series_bytes = (series_bits + 7) >> 3
+    byte_off = np.concatenate(([0], np.cumsum(series_bytes)[:-1]))
+    total_bytes = int(series_bytes.sum())
+
+    csum = np.concatenate(([0], np.cumsum(lengths)))
+    first_code = np.searchsorted(owner, np.arange(n_series), side="left")
+    base = csum[first_code]  # bit-cumsum at each stream's first code
+    within = csum[:-1] - base[owner]
+    starts = byte_off[owner] * 8 + within
+
+    bytestart = (starts >> 3).astype(np.int64)
+    bitoff = (starts & 7).astype(np.int64)
+    sh = 72 - bitoff - lengths
+    codes = codes.astype(np.uint64)
+    ge8 = sh >= 8
+    sh_hi = np.where(ge8, sh - 8, 0).astype(np.uint64)
+    sh_lo = np.where(ge8, 0, 8 - sh).astype(np.uint64)
+    hi64 = np.where(ge8, codes << sh_hi, codes >> sh_lo)
+    lob = np.where(ge8, np.uint64(0), (codes << sh.astype(np.uint64)))
+    lob = (lob & np.uint64(0xFF)).astype(np.uint8)
+    planes = np.concatenate(
+        [hi64.reshape(-1, 1).view(np.uint8)[:, ::-1], lob.reshape(-1, 1)], axis=1
+    )
+    idx = bytestart.reshape(-1, 1) + np.arange(9, dtype=np.int64)
+    flat_v = planes.reshape(-1)
+    nz = flat_v != 0
+    buf = np.bincount(
+        idx.reshape(-1)[nz], weights=flat_v[nz].astype(np.float64),
+        minlength=total_bytes + 9,
+    ).astype(np.uint8)
+    raw = buf.tobytes()
+    return [
+        raw[byte_off[s]: byte_off[s] + series_bytes[s]] for s in range(n_series)
+    ]
+
+
+def _splice_payload(codes, lens, keys, esc_idx, payload, plens, owner):
+    """Append escape payload codes right after their prefix codes by global
+    sort key (position*2 for prefixes, +1 for payloads)."""
+    if len(esc_idx) == 0:
+        order = np.argsort(keys, kind="stable")
+        return codes[order], lens[order], owner[order]
+    codes = np.concatenate([codes, payload])
+    lens = np.concatenate([lens, plens])
+    keys = np.concatenate([keys, keys[esc_idx] + 1])
+    owner = np.concatenate([owner, owner[esc_idx]])
+    order = np.argsort(keys, kind="stable")
+    return codes[order], lens[order], owner[order]
+
+
+def encode_blocks_batch(ts: np.ndarray, vals: np.ndarray, bounds: np.ndarray):
+    """Encode MANY series at once: ``bounds`` delimits contiguous series in
+    ``ts``/``vals`` (len S+1).  Returns (ns, first_ts, first_val, ts_blocks,
+    val_blocks) where the first three are arrays of length S and the last
+    two are lists of bytes.  Batch-wide vectorization: deltas, dod
+    classification, XOR classification and bit packing are each ONE numpy
+    pass over the whole batch with series boundaries masked out.
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    S = len(bounds) - 1
+    los, his = bounds[:-1], bounds[1:]
+    ns = his - los
+    owner_i = np.repeat(np.arange(S), ns)  # series of each global row
+
+    # ---------------- timestamps ----------------
+    if len(ts) > 1:
+        d = np.diff(ts)
+        same_d = owner_i[1:] == owner_i[:-1]  # delta stays within one series
+    else:
+        d = np.zeros(0, dtype=np.int64)
+        same_d = np.zeros(0, dtype=bool)
+
+    # first_delta (32-bit) for series with >=2 points, at position lo+1
+    fd_series = np.where(ns >= 2)[0]
+    fd_codes = (d[los[fd_series]] & 0xFFFFFFFF).astype(_U64)
+    fd_lens = np.full(len(fd_series), 32, dtype=np.int64)
+    fd_keys = (los[fd_series] + 1) * 2
+
+    # delta-of-delta at global rows i >= lo+2: dd index j = i-2, valid when
+    # rows j and j+2 share a series
+    if len(d) > 1:
+        dd = np.diff(d)
+        valid = same_d[:-1] & same_d[1:]
+        j = np.where(valid)[0]
+    else:
+        dd = np.zeros(0, dtype=np.int64)
+        j = np.zeros(0, dtype=np.int64)
+    dod = dd[j]
+    dod_owner = owner_i[j]
+    zero = dod == 0
+    b7 = (~zero) & (dod >= -63) & (dod <= 64)
+    b9 = (~zero) & (~b7) & (dod >= -255) & (dod <= 256)
+    b12 = (~zero) & (~b7) & (~b9) & (dod >= -2047) & (dod <= 2048)
+    b64 = ~(zero | b7 | b9 | b12)
+    dcodes = np.zeros(len(dod), dtype=_U64)
+    dlens = np.ones(len(dod), dtype=np.int64)
+    dcodes[b7] = (_U64(0b10) << _U64(7)) | (dod[b7] + 63).astype(_U64)
+    dlens[b7] = 9
+    dcodes[b9] = (_U64(0b110) << _U64(9)) | (dod[b9] + 255).astype(_U64)
+    dlens[b9] = 12
+    dcodes[b12] = (_U64(0b1110) << _U64(12)) | (dod[b12] + 2047).astype(_U64)
+    dlens[b12] = 16
+    dcodes[b64] = _U64(0b1111)
+    dlens[b64] = 4
+    dkeys = (j + 2) * 2
+
+    t_codes = np.concatenate([fd_codes, dcodes])
+    t_lens = np.concatenate([fd_lens, dlens])
+    t_keys = np.concatenate([fd_keys, dkeys])
+    t_owner = np.concatenate([fd_series, dod_owner])
+    esc = np.where(np.concatenate([np.zeros(len(fd_series), dtype=bool), b64]))[0]
+    t_codes, t_lens, t_owner = _splice_payload(
+        t_codes, t_lens, t_keys, esc,
+        dod[b64].astype(np.int64).view(np.uint64),
+        np.full(int(b64.sum()), 64, dtype=np.int64), t_owner,
+    )
+    ts_blocks = _pack_streams(t_codes, t_lens, t_owner, S)
+
+    # ---------------- values ----------------
+    if len(v) > 1:
+        x = v[1:] ^ v[:-1]
+        k = np.where(same_d)[0]  # xor index k encodes row k+1
+    else:
+        x = np.zeros(0, dtype=np.uint64)
+        k = np.zeros(0, dtype=np.int64)
+    xor = x[k]
+    x_owner = owner_i[k]
+    lz = np.minimum(_clz64(xor), 31)
+    tz = _ctz64(xor)
+    zero = xor == 0
+    nz = ~zero
+    mbits = np.where(nz, 64 - lz - tz, 0)
+    header = (
+        (_U64(0b11) << _U64(12))
+        | (lz.astype(_U64) << _U64(6))
+        | (mbits & 63).astype(_U64)
+    )
+    vcodes = np.where(zero, _U64(0), header.astype(np.uint64))
+    vlens = np.where(zero, 1, 14).astype(np.int64)
+    vkeys = (k + 1) * 2
+    esc = np.where(nz)[0]
+    tz_nz = tz[nz].astype(_U64)
+    vcodes, vlens, v_owner = _splice_payload(
+        vcodes, vlens, vkeys, esc, (xor[nz] >> tz_nz).astype(_U64),
+        mbits[nz].astype(np.int64), x_owner,
+    )
+    val_blocks = _pack_streams(vcodes, vlens, v_owner, S)
+
+    first_ts = ts[los] if len(ts) else np.zeros(0, dtype=np.int64)
+    first_val = (
+        v[los].view(np.float64) if len(v) else np.zeros(0, dtype=np.float64)
+    )
+    return ns, first_ts, first_val, ts_blocks, val_blocks
+
+
 # ------------------------------------------------------------------ blocks
 def encode_block(ts: np.ndarray, vals: np.ndarray) -> dict:
+    """Single-series block encode — thin wrapper over the batch encoder."""
     ts = np.asarray(ts, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
+    ns, ft, fv, tb, vb = encode_blocks_batch(ts, vals, np.array([0, len(ts)]))
     return {
-        "n": int(len(ts)),
-        "first_ts": int(ts[0]),
-        "first_val": float(vals[0]),
-        "ts_block": encode_timestamps(ts),
-        "val_block": encode_values(vals),
+        "n": int(ns[0]),
+        "first_ts": int(ft[0]),
+        "first_val": float(fv[0]),
+        "ts_block": tb[0],
+        "val_block": vb[0],
     }
 
 
@@ -335,12 +512,18 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
     )
     out_cols = gcols + ["n", "first_ts", "first_val", "ts_block", "val_block"]
 
-    def encode_run(keys, epochs, values, rows):
-        blk = encode_block(epochs, values)
-        rows.append(
-            tuple(keys) + (blk["n"], blk["first_ts"], blk["first_val"],
-                           blk["ts_block"], blk["val_block"])
+    def encode_span(pdf, bounds):
+        """Encode the series delimited by ``bounds`` inside pdf via the
+        batch encoder -> one output frame."""
+        ns, ft, fv, tb, vb = encode_blocks_batch(
+            pdf[epoch_col].to_numpy(), pdf[value_col].to_numpy(), bounds
         )
+        data = {c: pdf[c].to_numpy()[bounds[:-1]] for c in gcols}
+        data.update(
+            {"n": ns.astype("int32"), "first_ts": ft, "first_val": fv,
+             "ts_block": tb, "val_block": vb}
+        )
+        return pd.DataFrame(data, columns=out_cols)
 
     def kernel(batches):
         carry = None
@@ -358,22 +541,10 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
             bounds = np.concatenate(([0], np.where(change)[0] + 1, [len(pdf)]))
             # last run may continue in the next batch — carry it
             carry = pdf.iloc[bounds[-2]:].copy()
-            ep = pdf[epoch_col].to_numpy()
-            va = pdf[value_col].to_numpy()
-            rows = []
-            for i in range(len(bounds) - 2):
-                lo, hi = bounds[i], bounds[i + 1]
-                encode_run([g[lo] for g in gv], ep[lo:hi], va[lo:hi], rows)
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
+            if len(bounds) > 2:
+                yield encode_span(pdf, bounds[:-1])
         if carry is not None and len(carry):
-            gv = [carry[c].to_numpy() for c in gcols]
-            rows = []
-            encode_run(
-                [g[0] for g in gv],
-                carry[epoch_col].to_numpy(), carry[value_col].to_numpy(), rows,
-            )
-            yield pd.DataFrame(rows, columns=out_cols)
+            yield encode_span(carry, np.array([0, len(carry)], dtype=np.int64))
 
     part = df.repartition(*gcols).sortWithinPartitions(*gcols, epoch_col)
     return part.mapInPandas(kernel, schema=schema)

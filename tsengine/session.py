@@ -31,6 +31,24 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("TSENGINE_MASTER", f"local[{cpus}]")
+    # Lazily-faulted VM memory (e.g. Firecracker snapshots) makes first-touch
+    # page faults ~100x normal cost, which serializes allocation-heavy
+    # parallel work.  Keep glibc arenas resident in the JVM and every Python
+    # worker it forks: never trim, never mmap-and-return large blocks.
+    # (Set via env so the JVM child and its Python workers inherit them.)
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    # Shuffle/spill files on tmpfs: the sandbox block device serializes IO
+    # the way a real executor's local NVMe does not.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
+    jvm_opts = "-XX:+UseTransparentHugePages"
+    if os.environ.get("TSENGINE_PRETOUCH") == "1":
+        # Fault the whole heap once at JVM start (~25s for 6-8g on this VM)
+        # so the measured region never page-faults.  Benchmarks only.
+        jvm_opts += " -XX:+AlwaysPreTouch"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,6 +63,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.extraJavaOptions", jvm_opts)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
