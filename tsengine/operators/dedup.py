@@ -32,20 +32,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_affine(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash h_i(x) = (a*x+b) mod P.
+    a*x fits int64 for x < P, so the same formula evaluates identically in
+    Spark (wrapping longs never reached) and DuckDB (strict BIGINT)."""
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P or 1
+    b = (2027 * i + 577) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of md5(i || shingle)
-    60-bit ints.  Output: doc_id, mh (array<long> length K)."""
+    """K minhash values per doc via ONE md5 base hash per shingle plus K
+    affine universal hashes (a_i*h + b_i) mod (2^31-1) — instead of K md5
+    calls per shingle, which dominated the old profile.
+    Output: doc_id, mh (array<long> length K)."""
     sh = shingles_expr(F.col(text_col), k=shingle_k)
-    e = df.select("doc_id", F.explode(sh).alias("shingle"))
-    mh_cols = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15), 16, 10)
-            .cast("long")
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+    e = df.select("doc_id", F.explode(sh).alias("shingle")).withColumn("_h", base)
+    mh_cols = []
+    for i in range(num_hashes):
+        a, b = minhash_affine(i)
+        mh_cols.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        )
     sig = e.groupBy("doc_id").agg(*mh_cols)
     return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("mh"))
 
@@ -108,8 +125,15 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs (from LSH, or all
     pairs sharing at least one shingle when pairs=None — still never a full
     cross join).  Output: doc_a, doc_b, jaccard."""
-    sh = df.select("doc_id", F.explode(shingles_expr(F.col(text_col), k=shingle_k)).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    # shingle rows carry their doc's shingle-set size via a window — the
+    # sizes ride through the join, so no per-doc sizes table and no two
+    # extra joins at the end (the old shape recomputed the text->shingle
+    # explode three times).
+    sh = df.select(
+        "doc_id", F.explode(shingles_expr(F.col(text_col), k=shingle_k)).alias("s")
+    ).withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     if pairs is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -117,24 +141,27 @@ def ngram_jaccard_pairs(
             a.join(b, F.col("a.s") == F.col("b.s"))
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("inter"))
+            .agg(F.count("*").alias("inter"),
+                 F.first(F.col("a.n")).alias("na"), F.first(F.col("b.n")).alias("nb"))
         )
     else:
+        # equi-join on BOTH (doc, shingle) keys: the old shape joined on doc
+        # alone and filtered s == s2 afterwards — a per-pair cartesian of the
+        # two shingle sets (|A| x |B| rows per candidate pair) that the hash
+        # join on the composite key never materializes.
         inter = (
-            pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            pairs.join(
+                sh.select(F.col("doc_id").alias("doc_a"), "s",
+                          F.col("n").alias("na")), "doc_a")
             .join(
-                sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "s2"),
-                ["doc_b"],
-            )
-            .filter(F.col("s") == F.col("s2"))
+                sh.select(F.col("doc_id").alias("doc_b"), "s",
+                          F.col("n").alias("nb")), ["doc_b", "s"])
             .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+            .agg(F.count("*").alias("inter"),
+                 F.first("na").alias("na"), F.first("nb").alias("nb"))
         )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter
         .select(
             "doc_a",
             "doc_b",

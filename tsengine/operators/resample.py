@@ -90,8 +90,15 @@ def distribute(
     w = Window.partitionBy("series_id").orderBy("epoch", "_g")
     pad = F.last("value", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
     u = u.withColumn("_pad", pad).filter(F.col("_g") == 1)
-    wb = Window.partitionBy("series_id").orderBy("epoch")
-    bfill = F.first("_pad", ignorenulls=True).over(wb.rowsBetween(0, Window.unboundedFollowing))
+    # bfill as a running last() over DESC order: (current, unboundedFollowing)
+    # ascending == (unboundedPreceding, current) descending.  The descending
+    # frame GROWS row-by-row (O(n) incremental in WindowExec); the ascending
+    # first()-over-following frame SHRINKS, which Spark recomputes from
+    # scratch per row — O(n^2) per series.
+    wb = Window.partitionBy("series_id").orderBy(F.col("epoch").desc())
+    bfill = F.last("_pad", ignorenulls=True).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)
+    )
     return u.select("series_id", "epoch", bfill.alias("value"))
 
 
@@ -138,7 +145,13 @@ def distribute_linear(
     # next-frame (starting 1 row after the grid row) only sees strictly later
     # points (af:543: ts[i+1] > pivot).
     w_prev = Window.partitionBy("series_id").orderBy("epoch", "_g")
-    w_next = w_prev
+    # "next observation" = first(...) over the ascending (1, unboundedFollowing)
+    # frame — but that frame SHRINKS and Spark recomputes it from scratch per
+    # row, O(n^2) per series.  Equivalent GROWING frame: running last() over
+    # the exactly-reversed order, excluding the current row.
+    w_next = Window.partitionBy("series_id").orderBy(
+        F.col("epoch").desc(), F.col("_g").desc()
+    )
     u = (
         u.withColumn(
             "_pe",
@@ -154,14 +167,14 @@ def distribute_linear(
         )
         .withColumn(
             "_ne",
-            F.first(F.when(F.col("_g") == 0, F.col("epoch")), ignorenulls=True).over(
-                w_next.rowsBetween(1, Window.unboundedFollowing)
+            F.last(F.when(F.col("_g") == 0, F.col("epoch")), ignorenulls=True).over(
+                w_next.rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
         .withColumn(
             "_nv",
-            F.first(F.when(F.col("_g") == 0, F.col("value")), ignorenulls=True).over(
-                w_next.rowsBetween(1, Window.unboundedFollowing)
+            F.last(F.when(F.col("_g") == 0, F.col("value")), ignorenulls=True).over(
+                w_next.rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
         .filter((F.col("_g") == 1) & F.col("_pe").isNotNull() & F.col("_ne").isNotNull())

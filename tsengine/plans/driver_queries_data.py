@@ -218,13 +218,18 @@ v AS (SELECT doc_id, {_simhash_votes} FROM h GROUP BY doc_id)
 SELECT doc_id, {_simhash_sig} AS simhash FROM v
 """
 
+from tsengine.operators.dedup import MINHASH_P, minhash_affine
+
 _mh_cols = ",\n  ".join(
-    f"min({_H15.format(x=chr(39) + str(i) + '|' + chr(39) + ' || s')}) AS mh{i}"
+    "min(({a} * h + {b}) % {p}) AS mh{i}".format(
+        a=minhash_affine(i)[0], b=minhash_affine(i)[1], p=MINHASH_P, i=i
+    )
     for i in range(N_MINHASH)
 )
 ORACLE["q_minhash"] = f"""
-WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
-SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+h AS (SELECT doc_id, ({_H15.format(x='s')}) % {MINHASH_P} AS h FROM sh)
+SELECT doc_id, {_mh_cols} FROM h GROUP BY doc_id
 """
 
 ORACLE["q_jaccard_pairs"] = f"""
