@@ -64,8 +64,8 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_lsh_near_dups(spark, sf_dir):
-    # engine-only (band hashing layout is an implementation detail); the
-    # jaccard of surfaced candidates is SQL-checked via q_jaccard_pairs
+    # fully value-checked: the affine minhash family + md5 band hashes are
+    # deterministic and mirrored in the DuckDB oracle below
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
     return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
@@ -245,6 +245,44 @@ FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(i / (na.n + nb.n - i), 6) >= 0.2
+"""
+
+# Full MinHash-LSH chain in SQL: the affine hash family made signatures,
+# band hashes, candidate pairs and the jaccard confirm all deterministic and
+# DuckDB-expressible, upgrading this from a rows-only check to a full
+# value-checked oracle (num_hashes=16, bands=8 mirror q_lsh_near_dups).
+_lsh_mh = ",\n  ".join(
+    "min(({a} * h + {b}) % {p}) AS mh{i}".format(
+        a=minhash_affine(i)[0], b=minhash_affine(i)[1], p=MINHASH_P, i=i
+    )
+    for i in range(16)
+)
+_lsh_bands = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || ',' || "
+    f"CAST(mh{2*b+1} AS VARCHAR)) AS bh FROM sig"
+    for b in range(8)
+)
+ORACLE["q_lsh_near_dups"] = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+h AS (SELECT doc_id, s, ({_H15.format(x='s')}) % {MINHASH_P} AS h FROM sh),
+sig AS (SELECT doc_id, {_lsh_mh} FROM h GROUP BY doc_id),
+bands AS ({_lsh_bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
 """
 
 ORACLE["q_compress_roundtrip"] = (
