@@ -161,3 +161,20 @@ def test_per_turn_text_equality(spark, tmp_path):
     p = [(r["conv_id"], r["turn_idx"], r["text"]) for r in prep.collect()]
     assert sorted(o) == sorted(p)
     assert len(o) == len(set((c, t) for c, t, _ in o))
+
+
+def test_tier_chain_single_exchange_plan(spark, small_transcripts):
+    """Scale guard: raw -> latency -> 1m must execute with exactly ONE
+    Exchange (the window's conv_id hashpartitioning satisfies the rollup
+    groupBy's clustering requirement), and the aggregate must be codegen
+    HashAggregate, not ObjectHashAggregate (README 'Design for 100 TB')."""
+    from tsengine.operators import rollup as R
+
+    turns = R.with_latency(small_transcripts)
+    plan = (
+        R.rollup_raw_to_tier(turns, "1m", role_vocab=["user"], tool_vocab=["grep"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
