@@ -118,3 +118,40 @@ def test_batch_encoder_matches_single_series():
         # and decodes back exactly
         assert np.array_equal(C.decode_timestamps(tb[i], int(ft[i]), n), parts_ts[i])
         assert np.array_equal(C.decode_values(vb[i], float(fv[i]), n), parts_v[i])
+
+
+def test_batch_decoder_matches_scalar_and_input():
+    """Lock-step batch decoder == scalar decoder == original input, across
+    grids, jitter, multi-century gaps (64-bit DoD escape — the first delta
+    goes through the same bucket coder, no 32-bit header cap), and
+    zero/repeat-heavy value planes."""
+    rng = np.random.RandomState(7)
+    ns_l, ts_l, v_l = [], [], []
+    for s in range(120):
+        n = int(rng.randint(1, 50))
+        kind = s % 4
+        if kind == 0:
+            ts = np.arange(n, dtype=np.int64) * 60 + 10**9
+        elif kind == 1:
+            ts = np.cumsum(rng.randint(1, 5000, size=n)).astype(np.int64)
+        elif kind == 2:
+            ts = np.cumsum(rng.randint(1, 2**40, size=n).astype(np.int64))
+        else:
+            ts = np.unique(rng.randint(0, 10**10, size=n).astype(np.int64))
+            n = len(ts)
+        v = np.where(rng.rand(n) < 0.3, 0.0, rng.standard_normal(n) * 10 ** rng.randint(0, 6))
+        ns_l.append(n); ts_l.append(ts); v_l.append(v)
+    flat_ts, flat_v = np.concatenate(ts_l), np.concatenate(v_l)
+    bounds = np.concatenate([[0], np.cumsum(ns_l)])
+    ns, ft, fv, tb, vb = C.encode_blocks_batch(flat_ts, flat_v, bounds)
+    ref_t, ref_v = [], []
+    for i in range(len(ns)):
+        t, v = C.decode_block(
+            {"n": int(ns[i]), "first_ts": int(ft[i]), "first_val": float(fv[i]),
+             "ts_block": tb[i], "val_block": vb[i]})
+        ref_t.append(t); ref_v.append(v)
+    bt, bv = C.decode_blocks_batch(ns, ft, fv, tb, vb)
+    assert np.array_equal(bt, np.concatenate(ref_t))
+    assert np.array_equal(bv.view(np.uint64), np.concatenate(ref_v).view(np.uint64))
+    assert np.array_equal(bt, flat_ts)
+    assert np.array_equal(bv.view(np.uint64), flat_v.view(np.uint64))

@@ -5,9 +5,14 @@ Database", VLDB 2015, §4.1-4.2) as pandas/Arrow kernels driven by
 ``applyInPandas`` over per-series sorted batches — Spark sees one vectorized
 UDF per block, never per-row Python.
 
-Timestamp encoding (§4.1): store first_ts in the block header; the first
-delta as a 32-bit value; each subsequent delta-of-delta D with the paper's
-variable codes, extended with a 64-bit escape for arbitrary gaps:
+Timestamp encoding (§4.1): store first_ts in the block header; every
+subsequent point as a delta-of-delta D with the paper's variable codes,
+extended with a 64-bit escape for arbitrary gaps.  The previous delta is
+implicitly 0 at block start, so the FIRST delta is just the first D through
+the same coder — no fixed-width header field, meaning a 60 s grid costs 9
+bits (not 32) for its first step and a multi-century gap still roundtrips
+exactly via the escape (the paper's 14-bit aligned first delta assumes
+block-aligned wall-clock windows this engine doesn't impose):
 
     D == 0                  -> '0'
     -63 <= D <= 64          -> '10'   + 7 bits (value stored as D + 63)
@@ -64,7 +69,9 @@ def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     sh_hi = np.where(ge8, sh - 8, 0).astype(np.uint64)     # code << (sh-8)
     sh_lo = np.where(ge8, 0, 8 - sh).astype(np.uint64)     # code >> (8-sh)
     hi64 = np.where(ge8, codes << sh_hi, codes >> sh_lo)   # top 8 window bytes
-    lob = np.where(ge8, np.uint64(0), (codes << sh.astype(np.uint64)))
+    # mask the shift into [0,63]: np.where evaluates BOTH branches, and a
+    # uint64 shift by >=64 (sh reaches 71 on ge8 lanes) is platform-defined
+    lob = np.where(ge8, np.uint64(0), codes << (sh.astype(np.uint64) & np.uint64(63)))
     lob = (lob & np.uint64(0xFF)).astype(np.uint8)          # 9th window byte
 
     # 9 byte planes: big-endian bytes of hi64, then lob; one bincount scatter
@@ -118,12 +125,12 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     if len(ts) <= 1:
         return b""
     deltas = np.diff(ts)
-    first_delta = deltas[0]
-    dod = np.diff(deltas)  # len n-2
+    # implicit previous delta 0 at block start: the first delta is encoded
+    # through the same bucket coder as every later delta-of-delta
+    dod = np.concatenate(([deltas[0]], np.diff(deltas)))  # len n-1
 
-    # classify each dod into a bucket
-    codes_list = [np.array([(first_delta & 0xFFFFFFFF)], dtype=_U64)]
-    lens_list = [np.array([32], dtype=np.int64)]
+    codes_list = []
+    lens_list = []
 
     if len(dod):
         zero = dod == 0
@@ -167,12 +174,8 @@ def decode_timestamps(data: bytes, first_ts: int, n: int) -> np.ndarray:
     if n == 1:
         return out
     r = _BitReader(data)
-    first_delta = r.take(32)
-    if first_delta >= 1 << 31:
-        first_delta -= 1 << 32
-    out[1] = first_ts + first_delta
-    delta = first_delta
-    for i in range(2, n):
+    delta = 0  # implicit previous delta at block start
+    for i in range(1, n):
         if r.take(1) == 0:
             dod = 0
         elif r.take(1) == 0:
@@ -325,7 +328,9 @@ def _pack_streams(codes, lengths, owner, n_series):
     sh_hi = np.where(ge8, sh - 8, 0).astype(np.uint64)
     sh_lo = np.where(ge8, 0, 8 - sh).astype(np.uint64)
     hi64 = np.where(ge8, codes << sh_hi, codes >> sh_lo)
-    lob = np.where(ge8, np.uint64(0), (codes << sh.astype(np.uint64)))
+    # mask the shift into [0,63]: np.where evaluates BOTH branches, and a
+    # uint64 shift by >=64 (sh reaches 71 on ge8 lanes) is platform-defined
+    lob = np.where(ge8, np.uint64(0), codes << (sh.astype(np.uint64) & np.uint64(63)))
     lob = (lob & np.uint64(0xFF)).astype(np.uint8)
     planes = np.concatenate(
         [hi64.reshape(-1, 1).view(np.uint8)[:, ::-1], lob.reshape(-1, 1)], axis=1
@@ -381,22 +386,14 @@ def encode_blocks_batch(ts: np.ndarray, vals: np.ndarray, bounds: np.ndarray):
         d = np.zeros(0, dtype=np.int64)
         same_d = np.zeros(0, dtype=bool)
 
-    # first_delta (32-bit) for series with >=2 points, at position lo+1
-    fd_series = np.where(ns >= 2)[0]
-    fd_codes = (d[los[fd_series]] & 0xFFFFFFFF).astype(_U64)
-    fd_lens = np.full(len(fd_series), 32, dtype=np.int64)
-    fd_keys = (los[fd_series] + 1) * 2
-
-    # delta-of-delta at global rows i >= lo+2: dd index j = i-2, valid when
-    # rows j and j+2 share a series
-    if len(d) > 1:
-        dd = np.diff(d)
-        valid = same_d[:-1] & same_d[1:]
-        j = np.where(valid)[0]
-    else:
-        dd = np.zeros(0, dtype=np.int64)
-        j = np.zeros(0, dtype=np.int64)
-    dod = dd[j]
+    # every intra-series delta d[j] becomes one bucket code at row j+1:
+    # dod = d[j] - d[j-1] when d[j-1] is in the same series, else d[j] - 0
+    # (implicit zero previous delta at each series start)
+    j = np.where(same_d)[0]
+    prev_ok = np.zeros(len(j), dtype=bool)
+    if len(j):
+        prev_ok = (j >= 1) & same_d[np.maximum(j - 1, 0)]
+    dod = d[j] - np.where(prev_ok, d[np.maximum(j - 1, 0)], 0)
     dod_owner = owner_i[j]
     zero = dod == 0
     b7 = (~zero) & (dod >= -63) & (dod <= 64)
@@ -413,17 +410,13 @@ def encode_blocks_batch(ts: np.ndarray, vals: np.ndarray, bounds: np.ndarray):
     dlens[b12] = 16
     dcodes[b64] = _U64(0b1111)
     dlens[b64] = 4
-    dkeys = (j + 2) * 2
+    dkeys = (j + 1) * 2  # code for delta d[j] is stamped on row j+1
 
-    t_codes = np.concatenate([fd_codes, dcodes])
-    t_lens = np.concatenate([fd_lens, dlens])
-    t_keys = np.concatenate([fd_keys, dkeys])
-    t_owner = np.concatenate([fd_series, dod_owner])
-    esc = np.where(np.concatenate([np.zeros(len(fd_series), dtype=bool), b64]))[0]
+    esc = np.where(b64)[0]
     t_codes, t_lens, t_owner = _splice_payload(
-        t_codes, t_lens, t_keys, esc,
+        dcodes, dlens, dkeys, esc,
         dod[b64].astype(np.int64).view(np.uint64),
-        np.full(int(b64.sum()), 64, dtype=np.int64), t_owner,
+        np.full(int(b64.sum()), 64, dtype=np.int64), dod_owner,
     )
     ts_blocks = _pack_streams(t_codes, t_lens, t_owner, S)
 
@@ -462,6 +455,145 @@ def encode_blocks_batch(ts: np.ndarray, vals: np.ndarray, bounds: np.ndarray):
         v[los].view(np.float64) if len(v) else np.zeros(0, dtype=np.float64)
     )
     return ns, first_ts, first_val, ts_blocks, val_blocks
+
+
+# ------------------------------------------------------------ batch decoding
+def _gather_windows(buf: np.ndarray, bitpos: np.ndarray) -> np.ndarray:
+    """Vectorized unaligned bit-window read: for each bit position, load the
+    9-byte window covering bits [pos, pos+64+7) and return the 64 bits
+    starting at ``pos`` as uint64 (one value per element).  ``buf`` must be
+    padded with >=9 trailing zero bytes so end-of-stream reads stay in
+    bounds."""
+    i = (bitpos >> np.uint64(3)).astype(np.int64)
+    o = (bitpos & np.uint64(7)).astype(np.uint64)
+    b = buf[i[:, None] + np.arange(9, dtype=np.int64)]  # (k, 9) uint8
+    hi = np.ascontiguousarray(b[:, :8]).view(">u8")[:, 0].astype(np.uint64)
+    lo = b[:, 8].astype(np.uint64)
+    # big-endian 72-bit window shifted so window bit ``o`` becomes the MSB;
+    # o=0 degenerates correctly (hi<<0, lo>>8 == 0)
+    return (hi << o) | (lo >> (np.uint64(8) - o))
+
+
+def _take_bits(shifted: np.ndarray, width: np.ndarray) -> np.ndarray:
+    """Top ``width`` bits of each shifted window (width in [0, 64]); shift
+    counts are masked into range so width==64 and width==0 are both
+    defined."""
+    w = width.astype(np.uint64)
+    out = shifted >> ((np.uint64(64) - w) & np.uint64(63))
+    return np.where(w > 0, out, np.uint64(0))
+
+
+def _concat_streams(blocks: list) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-stream byte blocks into one padded uint8 buffer.
+    Returns (buf, per-stream starting BIT position)."""
+    lens = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    byte_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    buf = np.frombuffer(b"".join(blocks) + b"\x00" * 9, dtype=np.uint8)
+    return buf, (byte_off * 8).astype(np.uint64)
+
+
+def decode_blocks_batch(
+    ns: np.ndarray,
+    first_ts: np.ndarray,
+    first_val: np.ndarray,
+    ts_blocks: list,
+    val_blocks: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY blocks at once, lock-step across streams: iteration ``i``
+    decodes point ``i`` of every stream that still has one, as a handful of
+    numpy passes (two :func:`_gather_windows` reads + mask arithmetic).
+    Python-level iteration count is max(ns), not sum(ns) — the batch-side
+    dual of :func:`encode_blocks_batch`, and the fix for the per-point
+    decode loop the round-1 bench flagged as the engine's slowest path.
+
+    Returns (timestamps, values) concatenated in input stream order
+    (lengths = ``ns``).
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    S = len(ns)
+    total = int(ns.sum())
+    ts_out = np.empty(total, dtype=np.int64)
+    val_out = np.empty(total, dtype=np.float64)
+    if total == 0:
+        return ts_out, val_out
+    off_orig = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    # sorted-descending stream order makes "streams still active at i" a
+    # prefix slice, so per-iteration state access is views, not boolean masks
+    order = np.argsort(-ns, kind="stable")
+    ns_s = ns[order]
+    off_s = off_orig[order]
+    max_n = int(ns_s[0])
+
+    def active(i: int) -> int:
+        return int(np.searchsorted(-ns_s, -i, side="left"))
+
+    # ---------------- timestamps ----------------
+    tbuf, tpos0 = _concat_streams([ts_blocks[s] for s in order])
+    pos = tpos0.copy()
+    delta = np.zeros(S, dtype=np.int64)
+    prev = first_ts[order].astype(np.int64).copy()
+    k0 = active(0)
+    ts_out[off_s[:k0]] = prev[:k0]
+    for i in range(1, max_n):
+        k = active(i)
+        win = _gather_windows(tbuf, pos[:k])
+        c4 = (win >> np.uint64(60)).astype(np.int64)  # top 4 control bits
+        cls0 = c4 < 8
+        cls1 = (c4 >> 2) == 0b10
+        cls2 = (c4 >> 1) == 0b110
+        cls3 = c4 == 0b1110
+        cls4 = c4 == 0b1111
+        ctrl = np.select([cls0, cls1, cls2, cls3], [1, 2, 3, 4], default=4)
+        plen = np.select([cls0, cls1, cls2, cls3], [0, 7, 9, 12], default=64)
+        # small payloads (<=12 bits) come out of the same 64-bit window:
+        # drop the control bits, take the top plen bits
+        small = _take_bits(win << ctrl.astype(np.uint64), np.where(cls4, 0, plen)).astype(np.int64)
+        dod = np.zeros(k, dtype=np.int64)
+        dod[cls1] = small[cls1] - 63
+        dod[cls2] = small[cls2] - 255
+        dod[cls3] = small[cls3] - 2047
+        if cls4.any():  # 64-bit escape: second gather just past the prefix
+            p4 = pos[:k][cls4] + np.uint64(4)
+            dod[cls4] = _gather_windows(tbuf, p4).view(np.int64)
+        delta[:k] += dod
+        prev[:k] += delta[:k]
+        ts_out[off_s[:k] + i] = prev[:k]
+        pos[:k] += (ctrl + plen).astype(np.uint64)
+
+    # ---------------- values ----------------
+    vbuf, vpos0 = _concat_streams([val_blocks[s] for s in order])
+    pos = vpos0.copy()
+    prevb = first_val[order].astype(np.float64).view(np.uint64).copy()
+    lead = np.zeros(S, dtype=np.int64)
+    trail = np.zeros(S, dtype=np.int64)
+    val_out[off_s[:k0]] = prevb[:k0].view(np.float64)
+    for i in range(1, max_n):
+        k = active(i)
+        win = _gather_windows(vbuf, pos[:k])
+        b0 = (win >> np.uint64(63)).astype(np.int64)
+        b1 = (win >> np.uint64(62)).astype(np.int64) & 1
+        is_same = b0 == 0
+        is_reuse = (b0 == 1) & (b1 == 0)  # '10': previous meaningful window
+        is_new = (b0 == 1) & (b1 == 1)  # '11': explicit 6b lead + 6b len
+        m_old = 64 - lead[:k] - trail[:k]  # width under reuse (OLD state)
+        hdr = ((win >> np.uint64(50)) & np.uint64(0xFFF)).astype(np.int64)
+        new_l = hdr >> 6
+        new_m = hdr & 63
+        new_m = np.where(new_m == 0, 64, new_m)
+        new_t = 64 - new_l - new_m
+        pre = np.select([is_same, is_reuse], [1, 2], default=14)
+        pw = np.select([is_same, is_reuse], [0, m_old], default=new_m)
+        pay = _take_bits(_gather_windows(vbuf, pos[:k] + pre.astype(np.uint64)), pw)
+        t_eff = np.select([is_reuse], [trail[:k]], default=new_t)
+        t_eff = np.where(pw > 0, t_eff, 0).astype(np.uint64)
+        cur = np.where(is_same, prevb[:k], prevb[:k] ^ (pay << t_eff))
+        val_out[off_s[:k] + i] = cur.view(np.float64)
+        prevb[:k] = cur
+        lead[:k] = np.where(is_new, new_l, lead[:k])
+        trail[:k] = np.where(is_new, new_t, trail[:k])
+        pos[:k] += (pre + pw).astype(np.uint64)
+
+    return ts_out, val_out
 
 
 # ------------------------------------------------------------------ blocks
@@ -551,7 +683,13 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
 
 
 def decompress_series(blocks_df, group_cols=("series_id",)):
-    """Inverse of :func:`compress_series`: blocks -> (group, epoch, value)."""
+    """Inverse of :func:`compress_series`: blocks -> (group, epoch, value).
+
+    Blocks are self-contained, so this is ``mapInPandas`` straight over the
+    block rows — NO shuffle (the previous groupBy().applyInPandas paid a full
+    exchange for nothing) — and each Arrow batch of blocks is decoded by the
+    lock-step :func:`decode_blocks_batch` instead of a per-row, per-point
+    Python loop."""
     import pandas as pd
 
     gcols = list(group_cols)
@@ -560,25 +698,24 @@ def decompress_series(blocks_df, group_cols=("series_id",)):
     )
     schema = schema_prefix + ", epoch long, value double"
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in pdf.iterrows():
-            ts, vals = decode_block(
-                {
-                    "n": int(row["n"]),
-                    "first_ts": int(row["first_ts"]),
-                    "first_val": float(row["first_val"]),
-                    "ts_block": bytes(row["ts_block"]),
-                    "val_block": bytes(row["val_block"]),
-                }
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            ts, vals = decode_blocks_batch(
+                ns,
+                pdf["first_ts"].to_numpy(dtype=np.int64),
+                pdf["first_val"].to_numpy(dtype=np.float64),
+                [bytes(b) for b in pdf["ts_block"]],
+                [bytes(b) for b in pdf["val_block"]],
             )
-            f = pd.DataFrame({"epoch": ts, "value": vals})
-            for c in gcols:
-                f[c] = row[c]
-            frames.append(f[gcols + ["epoch", "value"]])
-        return pd.concat(frames, ignore_index=True)
+            data = {c: np.repeat(pdf[c].to_numpy(), ns) for c in gcols}
+            data["epoch"] = ts
+            data["value"] = vals
+            yield pd.DataFrame(data, columns=gcols + ["epoch", "value"])
 
-    return blocks_df.groupBy(*gcols).applyInPandas(kernel, schema=schema)
+    return blocks_df.mapInPandas(kernel, schema=schema)
 
 
 def _group_types(df, gcols):

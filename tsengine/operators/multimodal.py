@@ -77,6 +77,12 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
     def kernel(batches):
         for pdf in batches:
             keep = pdf[pdf["kind"] == "image"]
+            if not len(keep):
+                # an empty batch must not yield: pd.DataFrame({"feature": []})
+                # materializes the list column as a float64 ndarray, which
+                # Arrow cannot convert to array<float> (driver crash at 32
+                # partitions where some batches carry zero image rows)
+                continue
             feats, ids, means = [], [], []
             for _, row in keep.iterrows():
                 img = DECODERS["image"](bytes(row["payload"]), dict(row["meta"] or {}))
@@ -107,6 +113,8 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
     def kernel(batches):
         for pdf in batches:
             keep = pdf[pdf["kind"] == "audio"]
+            if not len(keep):
+                continue  # same Arrow empty-list-column hazard as image_features
             ids, feats = [], []
             for _, row in keep.iterrows():
                 wav = DECODERS["audio"](bytes(row["payload"]), dict(row["meta"] or {}))

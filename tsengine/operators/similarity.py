@@ -89,16 +89,30 @@ def ivf_assign(
     return emb.select(F.col(id_col).alias("vec_id"), v.alias(vec_col), best.alias("ivf_cell"))
 
 
+def fixed_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian codebook — the 'codebook as config' IVF path: cells
+    are deterministic literals, so the whole IVF search (assignment, nprobe
+    pruning, scoring) is reproducible in a DuckDB oracle.  Quantizer quality
+    is below k-means but pruning/scoring semantics are identical."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_cells, dim)).tolist()
+
+
 def train_centroids(
     emb: DataFrame, n_cells: int = 16, iters: int = 5, seed: int = 42,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Tiny k-means on a driver-side sample (the IVF coarse codebook is
-    always tiny; training on a bounded sample is standard)."""
+    always tiny; training on a bounded sample is standard).  The sample is
+    the first 4096 vectors BY ID — ``orderBy(id).limit`` is a deterministic
+    TakeOrdered, where a bare ``limit`` depends on partition arrival order."""
     import numpy as np
 
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(4096).collect()], dtype="float64"
+        [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col).limit(4096).collect()],
+        dtype="float64",
     )
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
@@ -128,7 +142,9 @@ def ivf_topk(
 
     q = np.array(query, dtype="float64")
     cents = np.array(centroids, dtype="float64")
-    order = (((cents - q) ** 2).sum(1)).argsort()[:nprobe].tolist()
+    # stable argsort: ties break to the lower cell index, matching the
+    # ORDER BY (distance, cell) of the DuckDB oracle
+    order = (((cents - q) ** 2).sum(1)).argsort(kind="stable")[:nprobe].tolist()
     assigned = ivf_assign(emb, centroids, vec_col, id_col)
     pruned = assigned.filter(F.col("ivf_cell").isin(order))
     return cosine_topk_bruteforce(pruned, query, k, vec_col, "vec_id")

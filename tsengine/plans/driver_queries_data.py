@@ -86,14 +86,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(emb, threshold=0.5, planes=6)
 
 
+IVF_CELLS, IVF_NPROBE, IVF_K = 8, 3, 10
+
+
 def q_knn_ivf(spark, sf_dir):
-    # rows-only: IVF centroids trained on a driver-side sample
+    """Value-checked IVF search: the codebook is a seeded deterministic
+    literal (similarity.fixed_centroids), so cell assignment, nprobe pruning
+    and cosine scoring are all mirrored exactly in the DuckDB oracle.  The
+    k-means-trained codebook path stays pytest-covered
+    (tests/test_dataops.py::test_ivf_matches_bruteforce_on_probed_cells)."""
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
-    cents = similarity.train_centroids(emb, n_cells=8, iters=3)
-    return similarity.ivf_topk(emb, qv, cents, k=10, nprobe=3)
+    cents = similarity.fixed_centroids(IVF_CELLS, 64, seed=7)
+    return similarity.ivf_topk(emb, qv, cents, k=IVF_K, nprobe=IVF_NPROBE)
 
 
 def q_compress_roundtrip(spark, sf_dir):
@@ -108,15 +115,51 @@ def q_compress_roundtrip(spark, sf_dir):
     return back.select("series_id", "epoch", F.round("value", 6).alias("value"))
 
 
-def q_transcript_rollup_1m(spark, sf_dir):
-    """Rows-only: north-star tier rollup on the synthetic transcripts
-    (bit-for-bit pinned against the pandas oracle in tests/test_rollup.py)."""
-    from tsengine.operators import rollup as R
-    from tsengine.synth import transcripts
+ROLE_VOCAB = ["click", "error", "purchase", "signup", "view"]
+TOOL_VOCAB = ["big", "small"]
 
-    t = transcripts(spark, n_conv=40, base_turns=40, hot_factor=10)
-    out = R.rollup_raw_to_tier(R.with_latency(t), "1m")
-    return out.drop("role_dist", "tool_dist")
+
+def q_transcript_rollup_1m(spark, sf_dir):
+    """North-star tier rollup (with_latency -> rollup_raw_to_tier) made
+    fully value-checkable: the transcript table is derived deterministically
+    from the events parquet (conv_id=user_id, turn order by (ts, event_id)),
+    and the role/tool distribution maps are flattened to per-key count
+    columns so the DuckDB oracle can pin them.  The synthetic-transcripts
+    variant stays bit-for-bit pinned in tests/test_rollup.py."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import rollup as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.lit("").alias("text"),
+        F.when(F.col("value") >= 50, "big").otherwise("small").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = R.rollup_raw_to_tier(
+        R.with_latency(t), "1m", role_vocab=ROLE_VOCAB, tool_vocab=TOOL_VOCAB
+    )
+    dist_cols = [
+        F.coalesce(F.element_at(F.col("role_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"r_{v}")
+        for v in ROLE_VOCAB
+    ] + [
+        F.coalesce(F.element_at(F.col("tool_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"t_{v}")
+        for v in TOOL_VOCAB
+    ]
+    # buckets whose only turn is a conversation's first have no latency:
+    # min/max/sum/mean are NULL — coalesce to 0.0 on BOTH sides (cnt_lat=0
+    # marks them) so the value-hash never mixes None/NaN encodings
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+        *dist_cols,
+    )
 
 
 def q_multimodal_image_features(spark, sf_dir):
@@ -330,6 +373,102 @@ WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.5
 
 
 ORACLE["q_embedding_near_dups"] = _near_dup_sql()
+
+ORACLE["q_transcript_rollup_1m"] = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         event_type AS role,
+         CASE WHEN value >= 50 THEN 'big' ELSE 'small' END AS tool,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx
+  FROM events),
+l AS (
+  SELECT conv_id, epoch, role, tool,
+         CAST(epoch - lag(epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS DOUBLE) AS value
+  FROM t)
+SELECT conv_id, 60*(epoch//60) AS bucket,
+       count(*) AS cnt, count(value) AS cnt_lat,
+       coalesce(round(min(value), 6), 0.0) AS vmin,
+       coalesce(round(max(value), 6), 0.0) AS vmax,
+       coalesce(round(sum(value), 6), 0.0) AS vsum,
+       coalesce(round(avg(value), 6), 0.0) AS vmean,
+       {", ".join(f"CAST(sum(CASE WHEN role = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS r_{v}" for v in ROLE_VOCAB)},
+       {", ".join(f"CAST(sum(CASE WHEN tool = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS t_{v}" for v in TOOL_VOCAB)}
+FROM l GROUP BY 1, 2
+"""
+
+
+def _ivf_sql() -> str:
+    """Mirror of q_knn_ivf: the fixed codebook as literal DOUBLE[] rows;
+    assignment = argmin squared-L2 with ties to the lowest cell (strict-<
+    chain in ivf_assign == ORDER BY dist, cell LIMIT 1 here); nprobe cells
+    ranked by distance-to-query the same way."""
+    cents = similarity.fixed_centroids(IVF_CELLS, 64, seed=7)
+    rows = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+cents(cell, c) AS (VALUES
+    {rows}),
+probe AS (SELECT cell FROM cents, q
+          ORDER BY list_distance(c, qv) ASC, cell ASC LIMIT {IVF_NPROBE}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a AS (SELECT vec_id, vec,
+        (SELECT cell FROM cents ORDER BY list_distance(cents.c, e.vec) ASC, cell ASC LIMIT 1) AS cell
+      FROM e),
+scored AS (
+  SELECT vec_id,
+    round(list_dot_product(vec, q.qv) /
+          (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM a, q WHERE cell IN (SELECT cell FROM probe))
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
+"""
+
+
+ORACLE["q_knn_ivf"] = _ivf_sql()
+
+
+def _image_features_sql() -> str:
+    """Independent numpy recompute of the deterministic fake decode chain
+    (synth payload bytes -> md5 seed -> RandomState pixels -> mean), emitted
+    as a VALUES literal.  Duplicates the STUB decoder's arithmetic on
+    purpose: with no codec libs in the container the 'true' pixels ARE the
+    seeded fake, and this recompute shares no code with the engine path."""
+    import hashlib
+
+    import numpy as np
+
+    vals = []
+    for i in range(48):
+        rng = np.random.RandomState(42 + i)
+        payload = rng.bytes(256 + int(rng.randint(0, 512)))
+        if i % 3 != 0:  # kinds cycle image/audio/video
+            continue
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+        img = np.random.RandomState(seed).randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        vals.append((i, float(img.mean())))
+    rows = ",\n    ".join(f"({i}, {m!r})" for i, m in vals)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       round(CAST(pm AS DOUBLE), 6) AS pixel_mean
+FROM (VALUES
+    {rows}) AS t(media_id, pm)
+"""
+
+
+ORACLE["q_multimodal_image_features"] = _image_features_sql()
+
+# videos are media_id 2,5,...,47; meta is fixed fps=24 x duration 4.0s = 96
+# frames, sampled every 24 -> frame_idx 0,24,48,72
+ORACLE["q_multimodal_frame_sample"] = """
+WITH v AS (SELECT unnest(generate_series(2, 47, 3)) AS media_id)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(unnest(generate_series(0, 95, 24)) AS INTEGER) AS frame_idx
+FROM v
+"""
 
 
 QUERIES = {
