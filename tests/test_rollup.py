@@ -142,6 +142,18 @@ def test_checkpoint_resume_no_double_counts(spark, tmp_path):
     keys = {(r["tier"], r["partition_key"]) for r in lin}
     for t in ("prep", "1m", "1h", "1d"):
         assert any(k[0] == t for k in keys)
+    # lineage records the TRUE input cardinality: every aggregating tier
+    # must shrink (input_rows > output_rows), and the 1m input must equal
+    # the prep output for the same day (prep itself is row-preserving)
+    prep_out = {r["partition_key"]: r["output_rows"] for r in lin if r["tier"] == "prep"}
+    for t in ("1m", "1h", "1d"):
+        rows = [r for r in lin if r["tier"] == t]
+        assert all(r["input_rows"] >= r["output_rows"] for r in rows), rows
+        # at least one day genuinely aggregates (a 1-row day may not shrink)
+        assert any(r["input_rows"] > r["output_rows"] for r in rows), rows
+    for r in lin:
+        if r["tier"] == "1m" and r["partition_key"] in prep_out:
+            assert r["input_rows"] == prep_out[r["partition_key"]], r
 
 
 def test_per_turn_text_equality(spark, tmp_path):
@@ -178,3 +190,46 @@ def test_tier_chain_single_exchange_plan(spark, small_transcripts):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "ObjectHashAggregate" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_incomplete_vocab_records_other_bucket(spark, small_transcripts):
+    """A caller-supplied vocab that misses categories must not silently
+    undercount: missing values land under the reserved '__other__' key, in
+    both the raw rollup and the map-reaggregation path."""
+    from pyspark.sql import functions as F
+
+    turns = R.with_latency(small_transcripts)
+    full_roles = sorted(
+        r[0] for r in small_transcripts.select("role").distinct().collect()
+    )
+    partial = full_roles[:-1]
+    dropped = full_roles[-1]
+
+    m_full = R.rollup_raw_to_tier(turns, "1m", role_vocab=full_roles)
+    m_part = R.rollup_raw_to_tier(turns, "1m", role_vocab=partial)
+
+    tot = lambda df: df.select(  # noqa: E731
+        F.sum(
+            F.aggregate(
+                F.map_values("role_dist"), F.lit(0).cast("long"), lambda a, x: a + x
+            )
+        )
+    ).first()[0]
+    # totals preserved, dropped category accounted under __other__
+    assert tot(m_part) == tot(m_full)
+    other_total = m_part.select(
+        F.sum(F.coalesce(F.element_at("role_dist", F.lit("__other__")), F.lit(0)))
+    ).first()[0]
+    dropped_total = m_full.select(
+        F.sum(F.coalesce(F.element_at("role_dist", F.lit(dropped)), F.lit(0)))
+    ).first()[0]
+    assert other_total == dropped_total > 0
+
+    # reaggregation with the same partial vocab keeps the accounting
+    h_part = R.reaggregate(m_part, "1h", role_vocab=partial)
+    assert tot(h_part) == tot(m_full)
+    # a complete vocab still produces NO __other__ entries
+    assert (
+        m_full.filter(F.element_at("role_dist", F.lit("__other__")).isNotNull()).count()
+        == 0
+    )

@@ -116,9 +116,14 @@ class RollupJob:
         day_col,
         fail_after: int | None = None,
         input_bytes: int = 0,
+        input_counts: dict | None = None,
     ) -> list[str]:
         """Write `df` partitioned by day, committing each uncommitted day
-        atomically.  Returns the list of newly committed days."""
+        atomically.  Returns the list of newly committed days.
+
+        ``input_counts`` maps day -> INPUT row count for that day's lineage
+        record; ``None`` means the stage is row-preserving (prep), where
+        input == output per day is the truth, not a placeholder."""
         out_base = self._stage_dir(stage)
         os.makedirs(out_base, exist_ok=True)
         done = self.committed(stage)
@@ -154,7 +159,11 @@ class RollupJob:
                 shutil.rmtree(dst)  # uncommitted leftovers from a killed run
             os.replace(src, dst)
             out_bytes = _dir_bytes(dst)
-            self._lineage(stage, day, todo_counts[day], todo_counts[day],
+            in_rows = (
+                input_counts.get(day, 0) if input_counts is not None
+                else todo_counts[day]
+            )
+            self._lineage(stage, day, in_rows, todo_counts[day],
                           per_day_in_bytes, out_bytes)
             self._commit(stage, day)
             committed.append(day)
@@ -191,6 +200,18 @@ class RollupJob:
         prep = spark.read.parquet(self._stage_dir("prep"))
         day_of_bucket = F.date_format(F.timestamp_seconds(F.col("bucket")), "yyyy-MM-dd")
 
+        def day_counts(path: str) -> dict:
+            """Per-day INPUT rows of a tier build = the day-partition counts
+            of the stage it reads (footer-only parquet scan)."""
+            # partition-column type inference reads day= back as DATE; the
+            # checkpoint keys are the written strings — cast before keying
+            return {
+                r["day"]: r["cnt"]
+                for r in spark.read.parquet(path)
+                .groupBy(F.col("day").cast("string").alias("day"))
+                .agg(F.count("*").alias("cnt")).collect()
+            }
+
         # vocabulary detected once per run, reused by every tier build (each
         # rollup would otherwise re-scan distinct role/tool per invocation)
         rv = R._vocab(prep, "role")
@@ -200,6 +221,7 @@ class RollupJob:
         committed["1m"] = self._write_stage(
             t1m, "1m", day_of_bucket, fail_after=fa("1m"),
             input_bytes=_dir_bytes(self._stage_dir("prep")),
+            input_counts=day_counts(self._stage_dir("prep")),
         )
 
         m = spark.read.parquet(self._stage_dir("1m"))
@@ -207,6 +229,7 @@ class RollupJob:
         committed["1h"] = self._write_stage(
             t1h, "1h", day_of_bucket, fail_after=fa("1h"),
             input_bytes=_dir_bytes(self._stage_dir("1m")),
+            input_counts=day_counts(self._stage_dir("1m")),
         )
 
         h = spark.read.parquet(self._stage_dir("1h"))
@@ -214,6 +237,7 @@ class RollupJob:
         committed["1d"] = self._write_stage(
             t1d, "1d", day_of_bucket, fail_after=fa("1d"),
             input_bytes=_dir_bytes(self._stage_dir("1h")),
+            input_counts=day_counts(self._stage_dir("1h")),
         )
         return committed
 

@@ -44,18 +44,46 @@ def validate_monotony(
             raise TsError("value lower than max_value")
 
 
+def _lazy_bounds_check(
+    df: DataFrame, monotony: str, max_value: float | None, reset_value: float
+) -> DataFrame:
+    """Fold the range validation into the plan itself: every value passes
+    through a raise_error branch that fires DURING the single job (at the
+    sink) instead of running the reference's two eager pre-scan count
+    actions.  Same rejection conditions and messages as
+    :func:`validate_monotony`."""
+    checks: list[tuple] = []
+    if monotony == "increasing":
+        checks.append((F.col("value") < F.lit(reset_value), "value lower than reset_value"))
+        if max_value is not None and max_value:
+            checks.append((F.col("value") > F.lit(max_value), "value greater than max_value"))
+    elif monotony == "decreasing":
+        checks.append((F.col("value") > F.lit(reset_value), "value greater than reset value"))
+        if max_value is not None and max_value:
+            checks.append((F.col("value") < F.lit(max_value), "value lower than max_value"))
+    v = F.col("value")
+    for cond, msg in checks:
+        v = F.when(cond, F.raise_error(F.lit(msg))).otherwise(v)
+    return df.withColumn("value", v)
+
+
 def increments(
     df: DataFrame,
     monotony: str = "increasing",
     max_value: float | None = None,
     reset_value: float = 0.0,
-    validate: bool = True,
+    validate: bool | str = True,
 ) -> DataFrame:
     """Per-series ordered diff with reset handling.
 
-    ``validate=True`` reproduces the reference's eager range validation
-    (an extra scan); pass False inside large pipelines where bounds are
-    known by construction.
+    ``validate`` modes:
+    - ``True`` — the reference's eager range validation (tf:356-365): up to
+      two extra count actions BEFORE the diff, raising :class:`TsError`;
+    - ``"lazy"`` — the same rejection folded into the column expression via
+      ``raise_error``, so the bounds are enforced during the one job that
+      computes the result (no extra scan; the error surfaces at the sink as
+      a Spark execution error carrying the same message);
+    - ``False`` — skip, for pipelines where bounds hold by construction.
     """
     if monotony not in MONOTONIES:
         # the reference accepts any string and treats unknowns as plain diff;
@@ -63,7 +91,9 @@ def increments(
         pass
     rv = float(reset_value)
     mv = None if max_value is None else float(max_value)
-    if validate:
+    if validate == "lazy":
+        df = _lazy_bounds_check(df, monotony, mv, rv)
+    elif validate:
         validate_monotony(df, monotony, mv, rv)
 
     w = Window.partitionBy("series_id").orderBy("epoch")

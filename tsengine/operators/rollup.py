@@ -60,6 +60,63 @@ def _count_map(list_col: str):
     )
 
 
+def _pivot_counts_raw(col: str, vocab: list, prefix: str) -> list:
+    """Per-vocab-entry codegen count columns over a raw categorical column,
+    plus a total non-null count used to detect values outside the vocab."""
+    return [
+        F.sum(F.when(F.col(col) == F.lit(v), 1).otherwise(0)).alias(f"{prefix}{i}")
+        for i, v in enumerate(vocab)
+    ] + [F.count(col).alias(f"{prefix}tot")]
+
+
+def _pivot_counts_maps(col: str, vocab: list, prefix: str) -> list:
+    """Per-vocab-entry sums over finer-tier count maps, plus the total of
+    ALL map values (so out-of-vocab keys in the finer maps are counted)."""
+    return [
+        F.sum(F.coalesce(F.element_at(F.col(col), F.lit(v)), F.lit(0))).alias(
+            f"{prefix}{i}"
+        )
+        for i, v in enumerate(vocab)
+    ] + [
+        F.sum(
+            F.aggregate(
+                F.map_values(F.col(col)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"{prefix}tot")
+    ]
+
+
+def _assemble_map(vocab: list, prefix: str):
+    """Rebuild map<string,long> from the pivoted count columns — pure Column
+    API (map_from_entries over struct literals), NOT interpolated SQL text:
+    vocab values are data-derived, and a value containing a quote/backslash
+    must never be spliced into an F.expr string.
+
+    Completeness guard: any counted value OUTSIDE the vocab (possible only
+    with a caller-supplied incomplete vocab — auto-detected vocabs are the
+    exact distinct set) is recorded under the reserved ``__other__`` key
+    instead of being silently dropped."""
+    if not vocab:
+        return F.expr("cast(map() as map<string,bigint>)")
+    covered = sum(
+        (F.col(f"{prefix}{i}").cast("long") for i in range(len(vocab))),
+        F.lit(0).cast("long"),
+    )
+    other = F.col(f"{prefix}tot").cast("long") - covered
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("k"), F.col(f"{prefix}{i}").cast("long").alias("v")
+            )
+            for i, v in enumerate(vocab)
+        ],
+        F.struct(F.lit("__other__").alias("k"), other.alias("v")),
+    )
+    return F.map_from_entries(F.filter(entries, lambda s: s["v"] > 0))
+
+
 def _vocab(df: DataFrame, col: str, max_size: int = 256) -> list | None:
     """Distinct values of a low-cardinality categorical column (sorted).
     Returns None when the cardinality exceeds ``max_size`` — caller falls
@@ -121,38 +178,23 @@ def rollup_raw_to_tier(
         F.sum("value").alias("vsum"),
     ]
 
-    def pivot_aggs(col, vocab, prefix):
-        return [
-            F.sum(F.when(F.col(col) == F.lit(v), 1).otherwise(0)).alias(f"{prefix}{i}")
-            for i, v in enumerate(vocab)
-        ]
-
-    def assemble_map(vocab, prefix):
-        if not vocab:
-            return F.expr("cast(map() as map<string,bigint>)")
-        entries = ", ".join(
-            "struct('{}' as k, {}{} as v)".format(v.replace("'", "\\'"), prefix, i)
-            for i, v in enumerate(vocab)
-        )
-        return F.expr(f"map_from_entries(filter(array({entries}), s -> s.v > 0))")
-
     aggs = list(core)
     if role_vocab is not None:
-        aggs += pivot_aggs("role", role_vocab, "_r")
+        aggs += _pivot_counts_raw("role", role_vocab, "_r")
     else:
         aggs.append(F.collect_list("role").alias("_roles"))
     if tool_vocab is not None:
-        aggs += pivot_aggs("tool", tool_vocab, "_t")
+        aggs += _pivot_counts_raw("tool", tool_vocab, "_t")
     else:
         aggs.append(F.collect_list("tool").alias("_tools"))
 
     out = b.groupBy("conv_id", "bucket").agg(*aggs)
     out = out.withColumn(
         "role_dist",
-        assemble_map(role_vocab, "_r") if role_vocab is not None else _count_map("_roles"),
+        _assemble_map(role_vocab, "_r") if role_vocab is not None else _count_map("_roles"),
     ).withColumn(
         "tool_dist",
-        assemble_map(tool_vocab, "_t") if tool_vocab is not None else _count_map("_tools"),
+        _assemble_map(tool_vocab, "_t") if tool_vocab is not None else _count_map("_tools"),
     )
     out = (
         out.withColumn("vmean", F.col("vsum") / F.nullif(F.col("cnt_lat"), F.lit(0)))
@@ -184,23 +226,6 @@ def reaggregate(
         "bucket2", (F.lit(width) * F.floor(F.col("bucket") / F.lit(width))).cast("long")
     )
 
-    def pivot_aggs(col, vocab, prefix):
-        return [
-            F.sum(F.coalesce(F.element_at(F.col(col), F.lit(v)), F.lit(0))).alias(
-                f"{prefix}{i}"
-            )
-            for i, v in enumerate(vocab)
-        ]
-
-    def assemble_map(vocab, prefix):
-        if not vocab:
-            return F.expr("cast(map() as map<string,bigint>)")
-        entries = ", ".join(
-            "struct('{}' as k, {}{} as v)".format(v.replace("'", "\\'"), prefix, i)
-            for i, v in enumerate(vocab)
-        )
-        return F.expr(f"map_from_entries(filter(array({entries}), s -> s.v > 0))")
-
     aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("cnt_lat").alias("cnt_lat"),
@@ -209,23 +234,23 @@ def reaggregate(
         F.sum("vsum").alias("vsum"),
     ]
     if role_vocab is not None:
-        aggs += pivot_aggs("role_dist", role_vocab, "_r")
+        aggs += _pivot_counts_maps("role_dist", role_vocab, "_r")
     else:
         aggs.append(F.collect_list("role_dist").alias("_role_maps"))
     if tool_vocab is not None:
-        aggs += pivot_aggs("tool_dist", tool_vocab, "_t")
+        aggs += _pivot_counts_maps("tool_dist", tool_vocab, "_t")
     else:
         aggs.append(F.collect_list("tool_dist").alias("_tool_maps"))
 
     out = b.groupBy("conv_id", "bucket2").agg(*aggs)
     out = out.withColumn(
         "role_dist",
-        assemble_map(role_vocab, "_r")
+        _assemble_map(role_vocab, "_r")
         if role_vocab is not None
         else _merge_maps("_role_maps"),
     ).withColumn(
         "tool_dist",
-        assemble_map(tool_vocab, "_t")
+        _assemble_map(tool_vocab, "_t")
         if tool_vocab is not None
         else _merge_maps("_tool_maps"),
     )

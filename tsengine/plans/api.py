@@ -25,15 +25,12 @@ from tsengine.operators import increments as incr
 from tsengine.operators import resample
 from tsengine.operators import split as spl
 from tsengine.plans.parser import Evaluator
-
-_BOOL = {"1": True, "true": True, "True": True, True: True,
-         "0": False, "false": False, "False": False, False: False}
+from tsengine.typeconv import convert_or_raise
 
 
 def _to_bool(v):
-    if v in _BOOL:
-        return _BOOL[v]
-    raise TsError("parameters do not have required format")
+    # tf:134-135: expand/distr run through type_conversion(v, 'BOOLEAN')
+    return convert_or_raise(v, "BOOLEAN")
 
 
 def _rekey_split(df: DataFrame) -> DataFrame:
@@ -43,14 +40,22 @@ def _rekey_split(df: DataFrame) -> DataFrame:
     (dense_rank over (series_id, bucket) — the reference's list order, then
     pandas-groupby bucket order, tf:1042-1047).
 
-    NOTE: parity-layer convenience with a GLOBAL window (fine for the API
-    compatibility path).  At scale keep the (series_id, bucket) columns
-    instead — split_agg does."""
-    rank = F.dense_rank().over(Window.orderBy("series_id", "bucket")) - 1
-    return df.select(
-        rank.cast("long").alias("series_id"),
-        "epoch",
-        "value",
+    Scale shape: the rank is computed over the DISTINCT (series_id, bucket)
+    frame — tiny (one row per sub-series) — and broadcast-joined back, so
+    the data itself never passes through a single-partition global window
+    (the previous Window.orderBy(...) with no partitionBy collapsed the
+    whole frame onto one task).  At scale keep the (series_id, bucket)
+    columns instead — split_agg does."""
+    keys = (
+        df.select("series_id", "bucket").distinct()
+        .withColumn(
+            "_rk",
+            (F.dense_rank().over(Window.orderBy("series_id", "bucket")) - 1).cast("long"),
+        )
+    )
+    return (
+        df.join(F.broadcast(keys), ["series_id", "bucket"])
+        .select(F.col("_rk").alias("series_id"), "epoch", "value")
     )
 
 
@@ -219,12 +224,17 @@ class Engine:
                 fill_value=float(fill_value) if fill_value is not None else None,
             )
 
-        def increments_fn(df, monotony="increasing", max_value=None, reset_value=0.0):
+        def increments_fn(df, monotony="increasing", max_value=None, reset_value=0.0,
+                          validate="lazy"):
+            # "lazy" keeps the one-plan story: bounds are enforced inside the
+            # single job via raise_error, not by the reference's two eager
+            # pre-scan count actions (increments.py:27-44)
             return incr.increments(
                 df,
                 monotony=monotony,
                 max_value=float(max_value) if max_value is not None else None,
                 reset_value=float(reset_value),
+                validate=validate,
             )
 
         def split_fn(df, period="day"):

@@ -260,9 +260,209 @@ def q_rollup_1h(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- API/parser surface
+# fixed "wall clock" for the API queries: 2024-01-31 00:00 UTC, just past the
+# last event epoch in every sf tier (data spans 2024-01-01 .. 2024-01-30)
+API_NOW = 1706659200
+API_SERIES = 41
+CR_FROM, CR_TO = 1705000000, 1706000000
+
+
+def _engine(spark, sf_dir):
+    from tsengine.plans.api import Engine
+
+    return Engine(spark, events_as_series(spark, sf_dir))
+
+
+def q_get_variable(spark, sf_dir):
+    """E1 (tf:109-202): range filter -> hourly LOCF distribute -> last(n),
+    normalized to list position 0."""
+    out = _engine(spark, sf_dir).get_variable(
+        API_SERIES, time_int=3600, now=API_NOW, range="last_week"
+    )
+    return _r6(out)
+
+
+def q_get_increments(spark, sf_dir):
+    """E2 (tf:1112-1215): closed window + one pre-window anchor point ->
+    hourly distribute -> increments."""
+    out = _engine(spark, sf_dir).get_increments(
+        API_SERIES, time_int=3600, now=API_NOW, range="last_day"
+    )
+    return _r6(out)
+
+
+def q_compound_formula(spark, sf_dir):
+    """U1, the flagship compound shape (cp:86-203; parser_tests.py:541-551):
+    one formula string -> lazy plan through the registry (get_variable ->
+    split with the minute-0 day-bucket quirk -> merged inner_mean)."""
+    eng = _engine(spark, sf_dir)
+    out = eng.query(
+        f"inner_mean(split(get_variable({API_SERIES}; time_int = 3600; "
+        f"now = {API_NOW}; range = last_week); period = day))"
+    )
+    return _r6(out)
+
+
+def q_column_range(spark, sf_dir):
+    """F1+F2 (au:31-57, au:60-160): 'data.'-prefix param strip -> open-interval
+    from/to compile -> pushed-down epoch predicate over every series."""
+    from tsengine import timeutil
+
+    rng = timeutil.get_column_range(
+        {"data.from": CR_FROM, "data.to": CR_TO, "unrelated": "ignored"},
+        now=API_NOW,
+        int_type="open",
+    )
+    return _r6(events_as_series(spark, sf_dir).filter(rng.predicate()))
+
+
+def q_group_by_legacy(spark, sf_dir):
+    """W6 (af:114-205): boundary-duplicating legacy calendar group-by with
+    interior-crossing seeds and empty-period placeholders, hour periods.
+    Placeholder NULL values are coalesced to -999999.0 on both sides so the
+    value hash never mixes None/NaN encodings."""
+    out = spl.group_by_legacy(events_as_series(spark, sf_dir), period="hour")
+    return out.select(
+        "series_id", "bucket", "epoch",
+        F.coalesce(F.round("value", 6), F.lit(-999999.0)).alias("value"),
+    )
+
+
 # ------------------------------------------------------------------ oracle SQL
 
 ORACLE: dict[str, str] = {}
+
+# E1: epoch in [now-week, now], LOCF+bfill onto the hourly grid over exactly
+# [e_from=now-week, e_to=now] (both on-grid: tf:284-291 rounding degenerates
+# to the closed range), series re-keyed to 0
+_GV_LO, _GV_HI = API_NOW - 604800, API_NOW
+ORACLE["q_get_variable"] = f"""
+WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value FROM events
+             WHERE user_id = {API_SERIES} AND floor(epoch(ts)) >= {_GV_LO}
+               AND floor(epoch(ts)) <= {_GV_HI}),
+grid AS (SELECT unnest(generate_series({_GV_LO}, {_GV_HI}, 3600)) AS epoch,
+                CAST(NULL AS DOUBLE) AS value, 1 AS g),
+u AS (SELECT epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+padded AS (SELECT epoch, g,
+    last_value(value IGNORE NULLS) OVER (ORDER BY epoch, g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pad FROM u),
+dist AS (SELECT epoch,
+    first_value(pad IGNORE NULLS) OVER (ORDER BY epoch
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+    FROM padded WHERE g = 1)
+SELECT CAST(0 AS BIGINT) AS series_id, epoch, round(value, 6) AS value FROM dist
+"""
+
+# E2: closed day window + the single pre-window anchor, hourly grid over
+# [now-day, now], LOCF (anchor pads the leading grid points), then lag-diff
+_GI_LO, _GI_HI = API_NOW - 86400, API_NOW
+ORACLE["q_get_increments"] = f"""
+WITH base AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value FROM events
+              WHERE user_id = {API_SERIES}),
+win AS (SELECT * FROM base WHERE epoch >= {_GI_LO} AND epoch <= {_GI_HI}),
+pre AS (SELECT * FROM base WHERE epoch < {_GI_LO} ORDER BY epoch DESC LIMIT 1),
+pts AS (SELECT * FROM win UNION ALL SELECT * FROM pre),
+grid AS (SELECT unnest(generate_series({_GI_LO}, {_GI_HI}, 3600)) AS epoch,
+                CAST(NULL AS DOUBLE) AS value, 1 AS g),
+u AS (SELECT epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+padded AS (SELECT epoch, g,
+    last_value(value IGNORE NULLS) OVER (ORDER BY epoch, g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pad FROM u),
+dist AS (SELECT epoch,
+    first_value(pad IGNORE NULLS) OVER (ORDER BY epoch
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+    FROM padded WHERE g = 1),
+inc AS (SELECT epoch, value,
+    lag(value) OVER (ORDER BY epoch) AS prev FROM dist)
+SELECT CAST(0 AS BIGINT) AS series_id, epoch,
+       round(CASE WHEN prev > value THEN value - 0.0 ELSE value - prev END, 6) AS value
+FROM inc WHERE prev IS NOT NULL
+"""
+
+# U1: the E1 grid grouped into calendar days (minute-0 shift: every on-hour
+# grid epoch shifts back 60 s before the Madrid date_trunc), merged mean
+ORACLE["q_compound_formula"] = f"""
+WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value FROM events
+             WHERE user_id = {API_SERIES} AND floor(epoch(ts)) >= {_GV_LO}
+               AND floor(epoch(ts)) <= {_GV_HI}),
+grid AS (SELECT unnest(generate_series({_GV_LO}, {_GV_HI}, 3600)) AS epoch,
+                CAST(NULL AS DOUBLE) AS value, 1 AS g),
+u AS (SELECT epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+padded AS (SELECT epoch, g,
+    last_value(value IGNORE NULLS) OVER (ORDER BY epoch, g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pad FROM u),
+dist AS (SELECT epoch,
+    first_value(pad IGNORE NULLS) OVER (ORDER BY epoch
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+    FROM padded WHERE g = 1)
+SELECT CAST(0 AS BIGINT) AS series_id, max(epoch) AS epoch,
+       round(avg(value), 6) AS value
+FROM dist GROUP BY {_bucket_sql('epoch', 'day')}
+"""
+
+# F1+F2: open interval -> (from, to) exclusive == [from+1, to-1] on integers
+ORACLE["q_column_range"] = f"""
+SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       round(value, 6) AS value
+FROM events
+WHERE floor(epoch(ts)) >= {CR_FROM} + 1 AND floor(epoch(ts)) <= {CR_TO} - 1
+"""
+
+# W6: hour periods are pure integer arithmetic (au:224-227) — base rows with
+# the shifted-bucket rule (+ first-point-on-boundary exception), boundary
+# duplicates, interior-crossing upper/lower copies, and empty-period
+# placeholders from DISTINCT (prev_eff, pivot-3600) gap pairs
+ORACLE["q_group_by_legacy"] = f"""
+WITH pts AS (
+  SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value,
+         row_number() OVER w AS rn,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_e
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)))),
+ann AS (
+  SELECT *,
+    60*(epoch//60) AS em,
+    3600*((60*(epoch//60))//3600) AS nb,
+    CASE WHEN (60*(epoch//60)) % 3600 = 0
+         THEN 3600*((60*(epoch//60))//3600) - 3600
+         ELSE 3600*((60*(epoch//60))//3600) END AS sb,
+    (epoch % 3600 = 0) AS boundary
+  FROM pts),
+eff AS (
+  SELECT *,
+    CASE WHEN rn = 1 AND boundary THEN nb ELSE sb END AS eff,
+    CASE WHEN boundary THEN epoch ELSE nb END AS pvt,
+    max(sb) OVER (PARTITION BY series_id) AS top
+  FROM ann),
+eff2 AS (
+  SELECT *, lag(eff) OVER (PARTITION BY series_id ORDER BY epoch) AS prev_eff
+  FROM eff),
+crossed AS (
+  SELECT * FROM eff2 WHERE rn > 1 AND prev_e < pvt AND pvt <= top),
+base AS (SELECT series_id, eff AS bucket, epoch, value FROM eff2),
+dup_upper AS (SELECT series_id, pvt AS bucket, pvt AS epoch, value
+              FROM crossed WHERE NOT boundary),
+dup_border AS (SELECT series_id, pvt AS bucket, epoch, value
+               FROM crossed WHERE boundary),
+seed_lower AS (SELECT series_id, pvt - 3600 AS bucket, pvt AS epoch, value
+               FROM crossed WHERE NOT boundary),
+gaps AS (SELECT DISTINCT series_id, prev_eff AS lo_p, pvt - 3600 AS hi_p
+         FROM crossed WHERE pvt - 3600 > prev_eff),
+placeholders AS (
+  SELECT series_id,
+         unnest(generate_series(lo_p + 3600, hi_p - 3600, 3600)) AS bucket,
+         CAST(NULL AS DOUBLE) AS value
+  FROM gaps),
+allrows AS (
+  SELECT series_id, bucket, epoch, value FROM base
+  UNION ALL SELECT series_id, bucket, epoch, value FROM dup_upper
+  UNION ALL SELECT series_id, bucket, epoch, value FROM dup_border
+  UNION ALL SELECT series_id, bucket, epoch, value FROM seed_lower
+  UNION ALL SELECT series_id, bucket, bucket AS epoch, value FROM placeholders)
+SELECT series_id, bucket, epoch,
+       coalesce(round(value, 6), -999999.0) AS value
+FROM allrows
+"""
 
 for _name, _fn in [
     ("q_inner_sum", "sum"),
@@ -475,4 +675,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pair_product": q_pair_product,
     "q_pair_addition_scalar_broadcast": q_pair_addition_scalar_broadcast,
     "q_rollup_1h": q_rollup_1h,
+    "q_get_variable": q_get_variable,
+    "q_get_increments": q_get_increments,
+    "q_compound_formula": q_compound_formula,
+    "q_column_range": q_column_range,
+    "q_group_by_legacy": q_group_by_legacy,
 }

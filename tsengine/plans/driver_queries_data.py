@@ -58,9 +58,16 @@ def q_minhash(spark, sf_dir):
     )
 
 
+JACCARD_DF_CAP = 64
+
+
 def q_jaccard_pairs(spark, sf_dir):
+    # no-candidates path with the document-frequency cap: candidates come
+    # from rare shingles only (bounded join keys), jaccard stays exact
     docs = _docs(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, pairs=None, shingle_k=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        docs, pairs=None, shingle_k=3, threshold=0.2, max_doc_freq=JACCARD_DF_CAP
+    )
 
 
 def q_lsh_near_dups(spark, sf_dir):
@@ -277,10 +284,18 @@ SELECT doc_id, {_mh_cols} FROM h GROUP BY doc_id
 
 ORACLE["q_jaccard_pairs"] = f"""
 WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s
+         WHERE freq.df <= {JACCARD_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i / (na.n + nb.n - i), 6) AS jaccard

@@ -40,8 +40,16 @@ def get_spark(
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     # Shuffle/spill files on tmpfs: the sandbox block device serializes IO
-    # the way a real executor's local NVMe does not.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    # the way a real executor's local NVMe does not.  OPT-IN ONLY
+    # (TSENGINE_TMPFS_SHUFFLE=1, set by the bench harness): as a default it
+    # would put every session's spill in RAM, so a shuffle that would have
+    # completed on disk could OOM the box instead — a bench-substrate
+    # control, not library behavior.
+    if (
+        os.environ.get("TSENGINE_TMPFS_SHUFFLE") == "1"
+        and os.path.isdir("/dev/shm")
+        and os.access("/dev/shm", os.W_OK)
+    ):
         os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
     jvm_opts = "-XX:+UseTransparentHugePages"

@@ -150,6 +150,25 @@ class TimeRange:
         return pred
 
 
+def get_column_range(
+    data: dict,
+    tz_name: str = DEFAULT_TZ,
+    now: int | None = None,
+    int_type: str = "left_open",
+) -> TimeRange:
+    """Reference F2 shim (analysis_utils.py:31-57): keep only the
+    ``data.``-prefixed request params, strip the prefix, and compile with
+    :func:`column_range`.  The reference returns an error dict when no
+    ``data.*`` param is present; this engine's error-as-exception convention
+    raises :class:`TsError` with the same message."""
+    params = {
+        k[len("data."):]: v for k, v in data.items() if k.startswith("data.")
+    }
+    if not params:
+        raise TsError("Invalid data range defined")
+    return column_range(params, tz_name=tz_name, now=now, int_type=int_type)
+
+
 def column_range(
     params: dict,
     tz_name: str = DEFAULT_TZ,
