@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Multi-executor scaling evidence (BASELINE.md protocol step 2): the tier
 pipeline submitted with ``spark-submit --py-files tsengine.zip`` on
-``local-cluster[N,1,m]`` vs ``local-cluster[4N,1,m]`` — REAL executor JVM
+``local-cluster[N,c,m]`` vs ``local-cluster[4N,c,m]`` — REAL executor JVM
 processes with the package shipped the way a production cluster ships it,
 not local[N] thread pools.
 
@@ -41,7 +41,8 @@ spark.sparkContext.setLogLevel("ERROR")
 raw = spark.read.parquet(tdir)
 n = raw.count()
 rv = R._vocab(raw, "role"); tv = R._vocab(raw, "tool")
-spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+# warmup: force executors up, codegen compiled, heaps faulted BEFORE timing
+spark.range(2_000_000).selectExpr("id % 1000 k", "id v").groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
 turns = R.with_latency(raw)
@@ -54,6 +55,31 @@ C.compress_series(series).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
 print(json.dumps({"execs": spark.sparkContext.defaultParallelism,
                   "turns": n, "sec": dt, "pps": n / dt}))
+spark.stop()
+"""
+
+
+CTRL_JOB = r"""
+import json, sys, time
+# vanilla-Spark control: window + aggregate over range data, ZERO engine
+# code — measures what THIS local-cluster substrate lets bare Spark SQL
+# scale to, so the engine's efficiency can be reported relative to it
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+rows = int(sys.argv[1])
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(2_000_000).selectExpr("id % 1000 k", "id v").groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+df = spark.range(rows).selectExpr("cast(id % 1500000 as string) g", "id v")
+w = Window.partitionBy("g").orderBy("v")
+out = (df.withColumn("lag", F.lag("v").over(w))
+         .groupBy("g").agg(F.count("*").alias("c"), F.sum(F.col("v") - F.col("lag")).alias("s"),
+                           F.min("v").alias("mn"), F.max("v").alias("mx")))
+out.write.format("noop").mode("overwrite").save()
+dt = time.perf_counter() - t0
+print(json.dumps({"rows": rows, "sec": dt, "pps": rows / dt}))
 spark.stop()
 """
 
@@ -77,25 +103,38 @@ def spark_submit_bin() -> str:
     return os.path.join(pyspark.__path__[0], "bin", "spark-submit")
 
 
-def run_level(n_exec: int, zip_path: str, job_path: str, tdir: str) -> dict:
-    service_cores = 2  # driver + standalone master/worker daemons
-    pin = list(range(min(n_exec + service_cores, os.cpu_count())))
+JVM_OPTS = "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
+
+
+def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str, job_arg: str) -> dict:
+    service_cores = 2  # driver JVM (hosts the in-process master/worker daemons)
+    pin = list(range(min(n_exec * exec_cores + service_cores, os.cpu_count())))
+    mem_mb = 1024 + 1024 * exec_cores
     cmd = [
         "taskset", "-c", ",".join(map(str, pin)),
         spark_submit_bin(),
-        "--master", f"local-cluster[{n_exec},1,2048]",
+        "--master", f"local-cluster[{n_exec},{exec_cores},{mem_mb}]",
         "--py-files", zip_path,
-        "--conf", "spark.executor.memory=1536m",
+        "--conf", f"spark.executor.memory={mem_mb - 256}m",
         "--conf", "spark.driver.memory=3g",
-        "--conf", f"spark.sql.shuffle.partitions={max(2 * n_exec, 8)}",
+        # substrate mitigations measured in BENCH/BASELINE.md: fault each
+        # JVM heap once at startup (outside the timed region) and use THP,
+        # or the microVM's ~100x first-touch page faults dominate
+        "--conf", f"spark.executor.extraJavaOptions={JVM_OPTS}",
+        "--conf", f"spark.driver.extraJavaOptions={JVM_OPTS}",
+        "--conf", f"spark.sql.shuffle.partitions={max(2 * n_exec * exec_cores, 8)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.ui.enabled=false",
-        job_path, tdir,
+        job_path, job_arg,
     ]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip, not the repo, must provide tsengine
+    # keep glibc arena pages resident in every JVM + Python worker
+    env.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    env.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    env.setdefault("MALLOC_MMAP_MAX_", "0")
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -107,9 +146,12 @@ def main():
     os.environ.setdefault("TSENGINE_TMPFS_SHUFFLE", "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="2,8", help="executor counts (N,4N)")
+    ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n-conv", type=int, default=9000)
     ap.add_argument("--tdir", default=None)
+    ap.add_argument("--skip-control", action="store_true")
+    ap.add_argument("--control-rows", type=int, default=40_000_000)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     tdir = args.tdir or f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
@@ -130,7 +172,8 @@ def main():
 
     results = {}
     for n in levels:
-        runs = [run_level(n, zip_path, job_path, tdir) for _ in range(args.runs)]
+        runs = [run_level(n, args.exec_cores, zip_path, job_path, tdir)
+                for _ in range(args.runs)]  # noqa: E501
         best = max(runs, key=lambda r: r["pps"])
         results[n] = {"best_pps": round(best["pps"], 1),
                       "best_sec": round(best["sec"], 2),
@@ -139,23 +182,51 @@ def main():
         print(f"executors={n}: best {best['pps']:,.0f} pts/s over {args.runs} runs",
               file=sys.stderr)
 
+    ctrl = {}
+    if not args.skip_control:
+        ctrl_path = "/tmp/tsengine_cluster_ctrl.py"
+        with open(ctrl_path, "w") as f:
+            f.write(CTRL_JOB)
+        for n in levels:
+            runs = [run_level(n, args.exec_cores, zip_path, ctrl_path,
+                              str(args.control_rows)) for _ in range(2)]
+            best = max(runs, key=lambda r: r["pps"])
+            ctrl[n] = {"best_pps": round(best["pps"], 1),
+                       "all_pps": [round(r["pps"], 1) for r in runs]}
+            print(f"control executors={n}: best {best['pps']:,.0f} rows/s",
+                  file=sys.stderr)
+
     pairs = {}
+    ctrl_pairs = {}
+    rel_pairs = {}
     for lo in levels:
         hi = lo * 4
         if hi in results:
             pairs[f"{lo}->{hi}"] = round(
                 results[hi]["best_pps"] / (4 * results[lo]["best_pps"]), 3
             )
+            if lo in ctrl and hi in ctrl:
+                ctrl_pairs[f"{lo}->{hi}"] = round(
+                    ctrl[hi]["best_pps"] / (4 * ctrl[lo]["best_pps"]), 3
+                )
+                rel_pairs[f"{lo}->{hi}"] = round(
+                    pairs[f"{lo}->{hi}"] / ctrl_pairs[f"{lo}->{hi}"], 3
+                )
     primary = sorted(pairs)[-1] if pairs else None
     summary = {
         "protocol": (
-            "spark-submit --py-files tsengine.zip, master=local-cluster[N,1,2048] "
-            "(real executor JVMs, 1 core each), taskset-pinned to N+2 cores, "
+            f"spark-submit --py-files tsengine.zip, master=local-cluster[N,{args.exec_cores},m] "
+            f"(real executor JVMs, {args.exec_cores} cores each, AlwaysPreTouch+THP, "
+            f"malloc arenas resident), taskset-pinned to N*{args.exec_cores}+2 cores, "
             f"best-of-{args.runs}"
         ),
+        "exec_cores": args.exec_cores,
         "levels": levels,
         "results": {str(k): v for k, v in results.items()},
         "scaling_efficiency": pairs,
+        "control": {str(k): v for k, v in ctrl.items()},
+        "control_efficiency": ctrl_pairs,
+        "engine_relative_efficiency": rel_pairs,
         "target": 0.8,
         "pair_pass": {k: v >= 0.8 for k, v in pairs.items()},
         "primary_pair": primary,

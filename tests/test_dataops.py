@@ -130,3 +130,34 @@ def test_multimodal_plumbing(spark):
     # determinism
     img2 = multimodal.image_features(media, target=(4, 4)).collect()
     assert sorted(map(tuple, img)) == sorted(map(tuple, img2))
+
+
+def test_multiprobe_recovers_flipped_bit_pairs(spark, emb):
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    strict = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dups(e, threshold=0.9, planes=12).collect()
+    }
+    probed = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dups_multiprobe(
+            e, threshold=0.9, planes=12
+        ).collect()
+    }
+    # multiprobe is a superset of the strict buckets and must find the
+    # planted near-copy pair even when 12 planes split hairline sign bits
+    assert strict <= probed
+    assert (0, 8) in probed
+
+
+def test_distributed_kmeans_matches_driver_kmeans_assignment(spark, emb):
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = similarity.train_centroids_distributed(e, n_cells=2, iters=4)
+    assert len(cents) == 2 and len(cents[0]) == 16
+    assigned = {
+        r["vec_id"]: r["ivf_cell"] for r in similarity.ivf_assign(e, cents).collect()
+    }
+    # the planted near-copy lands in the same cell as its original
+    assert assigned[8] == assigned[0]
+    # both cells are used
+    assert len(set(assigned.values())) == 2

@@ -126,6 +126,42 @@ def train_centroids(
     return [c.tolist() for c in cents]
 
 
+def train_centroids_distributed(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Full-corpus Lloyd iterations in Spark — the 100 TB path where even a
+    sample-based codebook should see all data: each round is one assign pass
+    (broadcast centroid literals, argmin in codegen) + one
+    posexplode/groupBy mean.  Driver traffic per round is exactly
+    n_cells x dim scalars (the codebook), never vectors.
+
+    Init = first ``n_cells`` vectors by id (deterministic TakeOrdered).
+    Empty cells keep their previous centroid."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    cents = [
+        [float(x) for x in r[1]]
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col, id_col)
+        rows = (
+            assigned.select("ivf_cell", F.posexplode(vec_col))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["ivf_cell"]][r["pos"]] = float(r["m"])
+        cents = new
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query: list[float],

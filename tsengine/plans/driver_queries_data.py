@@ -51,6 +51,12 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    # banded simhash self-join (half-signature buckets) + hamming confirm
+    out = dedup.simhash_near_dups(_docs(spark, sf_dir), bits=SIMHASH_BITS, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_minhash(spark, sf_dir):
     sig = dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=N_MINHASH)
     return sig.select(
@@ -266,6 +272,27 @@ WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT doc_id, {_H15.format(x='tok')} AS th FROM toks),
 v AS (SELECT doc_id, {_simhash_votes} FROM h GROUP BY doc_id)
 SELECT doc_id, {_simhash_sig} AS simhash FROM v
+"""
+
+# banded near-dups mirror the ENGINE's candidate rule (one half-signature
+# bucket must match exactly), then the hamming confirm — not plain all-pairs
+# hamming, which the banding intentionally under-recalls for spread bits
+_SH_HALF = SIMHASH_BITS // 2
+ORACLE["q_simhash_near_dups"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_H15.format(x='tok')} AS th FROM toks),
+v AS (SELECT doc_id, {_simhash_votes} FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_simhash_sig} AS simhash FROM v),
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, simhash >> {_SH_HALF} AS key FROM sigs
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, simhash & {2**_SH_HALF - 1} AS key FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= 3
 """
 
 from tsengine.operators.dedup import MINHASH_P, minhash_affine
@@ -493,6 +520,7 @@ QUERIES = {
     "q_language_id": q_language_id,
     "q_fingerprint": q_fingerprint,
     "q_simhash": q_simhash,
+    "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_lsh_near_dups": q_lsh_near_dups,
