@@ -59,10 +59,15 @@ def main():
 
     from tsengine.session import get_spark
 
+    # 16 shuffle partitions, NOT cpus: on this box 32 concurrent hash/sort
+    # tasks overrun the shared LLC and every shuffle-heavy query measures
+    # 2-20x slower (BENCH/BASELINE.md, partition-sizing section).  This is
+    # per-executor partition sizing, the knob AQE's advisory size turns on a
+    # real cluster.
     spark = get_spark(
         app_name="tsengine-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=str(max(int(cpus), 8)),
+        shuffle_partitions=str(min(max(int(cpus), 8), 16)),
     )
 
     import __spark_entry__ as entrymod
@@ -116,7 +121,7 @@ def main():
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     tier_sec = None
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: multi-second host-steal bursts are common
         t0 = time.perf_counter()
         turns = R.with_latency(raw.coalesce(16))
         tiers = R.build_all_tiers(
