@@ -161,3 +161,12 @@ def test_distributed_kmeans_matches_driver_kmeans_assignment(spark, emb):
     assert assigned[8] == assigned[0]
     # both cells are used
     assert len(set(assigned.values())) == 2
+
+
+def test_jaccard_no_pairs_plan_is_df_capped(spark, docs):
+    """Plan pin for the scale fix: the pairs=None path must filter the
+    inverted index by document frequency BEFORE any self-join — no raw
+    shingle-key join survives in the physical plan."""
+    out = dedup.ngram_jaccard_pairs(docs, pairs=None, max_doc_freq=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_df" in plan and "<= 7" in plan, plan[:2000]
