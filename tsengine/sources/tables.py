@@ -49,12 +49,35 @@ def pushdown_scan(spark: SparkSession, location: str, lo: int | None, hi: int | 
     """Time-range + conv scan with predicates Catalyst pushes to the files
     (partition pruning on day, row-group skipping on ts/conv_id) — the
     engine-side rendering of the reference's Cassandra column slice
-    (au:60-160 -> af:81)."""
+    (au:60-160 -> af:81).
+
+    The parquet layout partitions by the DERIVED ``day`` string, and Spark
+    cannot infer day-from-ts, so a ts-only range filter scans every
+    partition.  The equivalent ``day`` bounds are added explicitly whenever
+    the table carries the partition column — that is what turns the filter
+    into PartitionFilters (file-level pruning) instead of just row-group
+    skipping.  A real Iceberg catalog makes this redundant (its ``days(ts)``
+    transform prunes from the ts predicate itself); the fallback must do it
+    by hand."""
+    from datetime import datetime, timedelta, timezone
+
     df = read_transcripts(spark, location)
+    has_day = "day" in df.columns
+
+    def day_of(epoch: int, pad_days: int) -> str:
+        d = datetime.fromtimestamp(int(epoch), tz=timezone.utc) + timedelta(days=pad_days)
+        return d.strftime("%Y-%m-%d")
+
+    # day bounds widened by one day each side: pruning must stay a SUPERSET
+    # of the ts predicate even if the writer's session timezone differed
     if lo is not None:
         df = df.filter(F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+        if has_day:
+            df = df.filter(F.col("day") >= day_of(lo, -1))
     if hi is not None:
         df = df.filter(F.col("ts") <= F.timestamp_seconds(F.lit(hi)))
+        if has_day:
+            df = df.filter(F.col("day") <= day_of(hi, 1))
     if conv_ids:
         df = df.filter(F.col("conv_id").isin(conv_ids))
     return df
