@@ -116,6 +116,22 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingle_rows(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id"):
+    """Exploded DISTINCT (id, shingle) rows.  Dedup happens as a hash
+    aggregate AFTER the explode, not via ``array_distinct`` inside the row:
+    array_distinct is an O(S^2) per-document scan (~4x the cost of the whole
+    explode+hash-dedup pipeline at 5k docs, and worse as documents grow),
+    while the shuffle dedup is O(S) and distributes."""
+    from pyspark.sql import functions as F
+
+    toks = F.transform(tokens_expr(F.col(text_col)), lambda x: F.lower(x))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    arr = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    return df.select(id_col, F.explode(arr).alias("s")).distinct()
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3'), distinct, from the token
     stream.  Pure array functions — no UDF."""
