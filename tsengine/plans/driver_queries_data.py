@@ -175,6 +175,32 @@ def q_transcript_rollup_1m(spark, sf_dir):
     )
 
 
+def q_salted_rollup_1m(spark, sf_dir):
+    """Skew path value-checked: the two-phase salted rollup must produce
+    EXACTLY the rows of the direct rollup (count/min/max/sum compose across
+    salt buckets), so it shares q_transcript_rollup_1m's numeric-plane
+    oracle verbatim."""
+    from pyspark.sql import Window
+
+    from tsengine import skew
+    from tsengine.operators import rollup as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = skew.salted_rollup(R.with_latency(t), width=60, buckets=8)
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -472,6 +498,29 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
 
 ORACLE["q_knn_ivf"] = _ivf_sql()
 
+# salted two-phase rollup == direct rollup: same numeric-plane oracle as
+# q_transcript_rollup_1m (role/tool dropped — the salted query carries only
+# the latency plane)
+ORACLE["q_salted_rollup_1m"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx
+  FROM events),
+l AS (
+  SELECT conv_id, epoch,
+         CAST(epoch - lag(epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS DOUBLE) AS value
+  FROM t)
+SELECT conv_id, 60*(epoch//60) AS bucket,
+       count(*) AS cnt, count(value) AS cnt_lat,
+       coalesce(round(min(value), 6), 0.0) AS vmin,
+       coalesce(round(max(value), 6), 0.0) AS vmax,
+       coalesce(round(sum(value), 6), 0.0) AS vsum,
+       coalesce(round(avg(value), 6), 0.0) AS vmean
+FROM l GROUP BY 1, 2
+"""
+
 
 def _image_features_sql() -> str:
     """Independent numpy recompute of the deterministic fake decode chain
@@ -529,6 +578,7 @@ QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_compress_roundtrip": q_compress_roundtrip,
     "q_transcript_rollup_1m": q_transcript_rollup_1m,
+    "q_salted_rollup_1m": q_salted_rollup_1m,
     "q_multimodal_image_features": q_multimodal_image_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
 }
