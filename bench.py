@@ -59,15 +59,16 @@ def main():
 
     from tsengine.session import get_spark
 
-    # 16 shuffle partitions, NOT cpus: on this box 32 concurrent hash/sort
-    # tasks overrun the shared LLC and every shuffle-heavy query measures
-    # 2-20x slower (BENCH/BASELINE.md, partition-sizing section).  This is
-    # per-executor partition sizing, the knob AQE's advisory size turns on a
-    # real cluster.
+    # Headline phase runs at shuffle_partitions == cpus: a session-wide 16
+    # override (r2) slowed the non-tier queries 3-7x head-to-head at
+    # local[32] (q_pair_product 13.2 s @16 vs 4.8 s @32, q_usage_day 13.4 vs
+    # 1.9 — VERDICT r2).  The 16-partition finding is real only for the tier
+    # pipeline with coalesced input, and the tier loop below already scopes
+    # it.
     spark = get_spark(
         app_name="tsengine-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=str(min(max(int(cpus), 8), 16)),
+        shuffle_partitions=str(cpus),
     )
 
     import __spark_entry__ as entrymod

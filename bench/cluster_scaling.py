@@ -212,7 +212,11 @@ def main():
                 rel_pairs[f"{lo}->{hi}"] = round(
                     pairs[f"{lo}->{hi}"] / ctrl_pairs[f"{lo}->{hi}"], 3
                 )
-    primary = sorted(pairs)[-1] if pairs else None
+    # numeric sort on the pair's lower level (lexicographic order would rank
+    # '16->64' below '4->16')
+    primary = (
+        sorted(pairs, key=lambda k: int(k.split("->")[0]))[-1] if pairs else None
+    )
     summary = {
         "protocol": (
             f"spark-submit --py-files tsengine.zip, master=local-cluster[N,{args.exec_cores},m] "

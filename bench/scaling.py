@@ -220,7 +220,11 @@ def main():
     # passes but the headline pair fails)
     primary = f"{max(levels)}->{max(levels)*4}" if pairs else None
     if primary not in pairs:
-        primary = sorted(pairs)[-1] if pairs else None
+        # numeric sort on the pair's lower level — lexicographic order would
+        # rank '16->64' below '4->16' and pick the wrong headline pair
+        primary = (
+            sorted(pairs, key=lambda k: int(k.split("->")[0]))[-1] if pairs else None
+        )
     summary = {
         "protocol": "same job, same input, taskset-pinned cores, best-of-%d runs"
         % args.runs,

@@ -92,6 +92,29 @@ def test_spark_roundtrip(spark):
         assert np.float64(v1).view(np.uint64) == np.float64(v2).view(np.uint64)
 
 
+def test_block_format_version_gate(spark):
+    """Blocks self-describe their wire format (ADVICE r2): the decoder rejects
+    unknown versions and version-less (pre-v2) block tables loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tsengine import compress as C
+    from tsengine.core import from_ts_lists
+
+    df = from_ts_lists(spark, [[(1398895200 + 60 * i, float(i)) for i in range(10)]])
+    blocks = C.compress_series(df)
+    assert blocks.select("fmt").distinct().collect()[0][0] == C.BLOCK_FORMAT_VERSION
+
+    # version-less table: rejected at plan time
+    with pytest.raises(ValueError, match="no 'fmt' version column"):
+        C.decompress_series(blocks.drop("fmt"))
+
+    # wrong version: rejected at execution time with the version named
+    stale = blocks.withColumn("fmt", F.lit(1).cast("tinyint"))
+    with pytest.raises(Exception, match="format version"):
+        C.decompress_series(stale).collect()
+
+
 def test_batch_encoder_matches_single_series():
     """encode_blocks_batch over concatenated series == encode_timestamps/
     encode_values per series, byte for byte."""

@@ -1,0 +1,114 @@
+"""Exhaustive error-message parity for the reference's argument-validation
+paths (VERDICT r2 #8).  Messages are pinned verbatim against
+tests/analysis/timeseries_functions_tests.py:196-257,324-371 and the
+producing code in src/analysis/timeseries_functions.py (tf: line refs in
+each assert).  Only driver-side validations are covered here — data-
+dependent errors (monotony bounds, merge collision, non-scalar values) are
+pinned in test_increments/test_aggregates/test_core.
+"""
+
+import pytest
+
+from tsengine.core import TsError, from_ts_lists
+from tsengine.plans.api import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    src = from_ts_lists(
+        spark, [[(1393628100 + 300 * i, float(i)) for i in range(8)]]
+    ).withColumnRenamed("series_id", "_sid").selectExpr(
+        "cast(7 as long) as series_id", "epoch", "value"
+    )
+    return Engine(spark, src)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return from_ts_lists(spark, [[(1393628100 + 300 * i, float(i)) for i in range(8)]])
+
+
+# ---- ts_list_function decorator (tf:42-45; test_scp_4) ----
+
+def test_unknown_argument(eng, df):
+    from tsengine.plans.parser import Call
+
+    with pytest.raises(TsError, match="^unknown argument test$"):
+        eng.evaluator.eval(Call("scalar_product", [df], {"number": "1", "test": "1"}))
+
+
+# ---- numeric-argument coercion ----
+
+def test_scalar_number_not_numeric(eng, df):
+    # tf:601; test_scp_3
+    with pytest.raises(TsError, match="^number is not numeric$"):
+        eng.registry()["scalar_product"](df, number="a")
+
+
+def test_increments_max_value_not_number(eng, df):
+    # tf:349; test_inc_7
+    with pytest.raises(TsError, match="^max_value is not a number$"):
+        eng.registry()["increments"](df, max_value="a")
+
+
+def test_increments_reset_value_not_number(eng, df):
+    # tf:354; test_inc_6
+    with pytest.raises(TsError, match="^reset_value is not a number$"):
+        eng.registry()["increments"](df, reset_value="a")
+
+
+def test_increments_eager_monotony_error_at_call_time(eng, spark):
+    # ADVICE r2: the parity layer validates EAGERLY — TsError raised by the
+    # registry call itself (tf:363; test_inc_4), not at a later action
+    bad = from_ts_lists(spark, [[(1, 1.0), (2, 10.0), (3, 20.0)]])
+    with pytest.raises(TsError, match="^value greater than reset value$"):
+        eng.registry()["increments"](bad, monotony="decreasing")
+
+
+# ---- distribute argument formats (tf:232,238,243) ----
+
+def test_distribute_e_to_must_be_epoch(eng, df):
+    with pytest.raises(TsError, match="^e_to must be an epoch$"):
+        eng.registry()["distribute_ts_list"](df, e_to="abc")
+
+
+def test_distribute_e_from_must_be_epoch(eng, df):
+    with pytest.raises(TsError, match="^e_from must be an epoch$"):
+        eng.registry()["distribute_ts_list"](df, e_from="abc")
+
+
+def test_distribute_seconds_must_be_integer(eng, df):
+    with pytest.raises(TsError, match="^seconds must be an integer$"):
+        eng.registry()["distribute_ts_list"](df, seconds="abc")
+
+
+# ---- get_variable argument formats (tf:137,148,157) ----
+
+def test_get_variable_bad_bool_params(eng):
+    with pytest.raises(TsError, match="^parameters do not have required format$"):
+        eng.get_variable(7, now=1393630000, expand="zorp")
+
+
+def test_get_variable_bad_time_int(eng):
+    with pytest.raises(TsError, match="^parameters do not have required format$"):
+        eng.get_variable(7, now=1393630000, time_int="abc")
+
+
+def test_get_variable_count_not_integer(eng):
+    with pytest.raises(TsError, match="^count argument is not an integer: abc$"):
+        eng.get_variable(7, now=1393630000, count="abc")
+
+
+def test_get_variable_now_not_epoch(eng):
+    with pytest.raises(TsError, match="^time reference received is not an epoch$"):
+        eng.get_variable(7, now="abc")
+
+
+# ---- compound formula end-to-end: unknown kwarg inside a formula ----
+
+def test_formula_unknown_kwarg(eng):
+    with pytest.raises(TsError, match="^unknown argument bogus$"):
+        eng.query(
+            "scalar_product(get_variable(7; time_int = 300; now = 1393630000; "
+            "range = this_hour); number = 2; bogus = 1)"
+        )

@@ -154,6 +154,16 @@ def test_checkpoint_resume_no_double_counts(spark, tmp_path):
     for r in lin:
         if r["tier"] == "1m" and r["partition_key"] in prep_out:
             assert r["input_rows"] == prep_out[r["partition_key"]], r
+    # per-day input_bytes are true per-day file sizes, not an even split
+    # (VERDICT r2 #6): the 1m tier reads day-partitioned prep dirs of
+    # unequal size, so its lineage bytes must differ across days and match
+    # the prep day's output_bytes exactly
+    prep_bytes = {r["partition_key"]: r["output_bytes"] for r in lin if r["tier"] == "prep"}
+    m_bytes = {r["partition_key"]: r["input_bytes"] for r in lin if r["tier"] == "1m"}
+    assert len(set(m_bytes.values())) > 1, m_bytes
+    for day, b in m_bytes.items():
+        if day in prep_bytes:
+            assert b == prep_bytes[day], (day, b, prep_bytes[day])
 
 
 def test_per_turn_text_equality(spark, tmp_path):

@@ -207,6 +207,43 @@ def test_tsgb_month(spark):
     assert ordered == expected
 
 
+def test_tsgb_hour_executor_placeholders(spark):
+    # Hour-period placeholders are generated executor-side (sequence explode,
+    # VERDICT r2 #3) — pin (a) value parity with the scalar-calendar walk
+    # across the 2014-03-30 Madrid spring-forward, (b) the explode in the
+    # plan, (c) laziness: building the plan must not run the old driver-side
+    # collect.
+    e0 = 1396130460  # 2014-03-29 23:21 UTC, before the DST jump
+    e1 = e0 + 8 * 3600  # 8 hours later, after the jump
+    df = from_ts_lists(spark, [[(e0, 1.0), (e1, 2.0)]])
+
+    before_jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    out = group_by_legacy(df, period="hour")
+    after_jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after_jobs) == len(before_jobs), "hour path must be fully lazy"
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "explode" in plan and "sequence" in plan
+
+    got = sorted(
+        (r["bucket"], r["epoch"], r["value"]) for r in out.collect()
+    )
+    # scalar-calendar oracle: replicate the af:190-200 walk with
+    # time_interval_end (the exact code the executor-side sequence replaced)
+    lo_p = time_interval_beginning("hour", epoch_ref=e0)
+    hi_p = time_interval_beginning("hour", epoch_ref=e1)
+    expected = [(lo_p, e0, 1.0)]
+    # gap upper side is the SEED's period (the one just below the pivot),
+    # which is non-empty — placeholders stop strictly before it
+    cur = time_interval_end("hour", epoch_ref=lo_p + 60)
+    while cur < hi_p - 3600:
+        expected.append((cur, cur, None))
+        cur = time_interval_end("hour", epoch_ref=cur + 60)
+    # interior crossing: (pivot=hi_p, cur_value) into the period starting at
+    # hi_p and the one below it
+    expected += [(hi_p - 3600, hi_p, 2.0), (hi_p, hi_p, 2.0), (hi_p, e1, 2.0)]
+    assert got == sorted(expected)
+
+
 def test_tsgb_year(spark):
     df = from_ts_lists(spark, [TS_1])
     out = group_by_legacy(df, period="year")

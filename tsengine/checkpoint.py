@@ -46,6 +46,16 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _day_bytes(path: str) -> dict[str, int]:
+    """Per-day on-disk bytes of a day-partitioned stage dir
+    (``day=yyyy-MM-dd`` subdirectories -> {day: bytes})."""
+    out: dict[str, int] = {}
+    for name in os.listdir(path):
+        if name.startswith("day="):
+            out[name[4:]] = _dir_bytes(os.path.join(path, name))
+    return out
+
+
 def _write_json_atomic(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -117,13 +127,18 @@ class RollupJob:
         fail_after: int | None = None,
         input_bytes: int = 0,
         input_counts: dict | None = None,
+        input_day_bytes: dict | None = None,
     ) -> list[str]:
         """Write `df` partitioned by day, committing each uncommitted day
         atomically.  Returns the list of newly committed days.
 
         ``input_counts`` maps day -> INPUT row count for that day's lineage
         record; ``None`` means the stage is row-preserving (prep), where
-        input == output per day is the truth, not a placeholder."""
+        input == output per day is the truth, not a placeholder.
+        ``input_day_bytes`` maps day -> INPUT bytes (true per-day file sizes
+        when the source is day-partitioned); days absent from it — and every
+        day when it is ``None``, e.g. prep reading an un-partitioned raw dir
+        — fall back to an even split of ``input_bytes``."""
         out_base = self._stage_dir(stage)
         os.makedirs(out_base, exist_ok=True)
         done = self.committed(stage)
@@ -163,8 +178,13 @@ class RollupJob:
                 input_counts.get(day, 0) if input_counts is not None
                 else todo_counts[day]
             )
+            in_bytes_day = (
+                input_day_bytes.get(day, per_day_in_bytes)
+                if input_day_bytes is not None
+                else per_day_in_bytes
+            )
             self._lineage(stage, day, in_rows, todo_counts[day],
-                          per_day_in_bytes, out_bytes)
+                          in_bytes_day, out_bytes)
             self._commit(stage, day)
             committed.append(day)
             if fail_after is not None and i + 1 >= fail_after:
@@ -222,6 +242,7 @@ class RollupJob:
             t1m, "1m", day_of_bucket, fail_after=fa("1m"),
             input_bytes=_dir_bytes(self._stage_dir("prep")),
             input_counts=day_counts(self._stage_dir("prep")),
+            input_day_bytes=_day_bytes(self._stage_dir("prep")),
         )
 
         m = spark.read.parquet(self._stage_dir("1m"))
@@ -230,6 +251,7 @@ class RollupJob:
             t1h, "1h", day_of_bucket, fail_after=fa("1h"),
             input_bytes=_dir_bytes(self._stage_dir("1m")),
             input_counts=day_counts(self._stage_dir("1m")),
+            input_day_bytes=_day_bytes(self._stage_dir("1m")),
         )
 
         h = spark.read.parquet(self._stage_dir("1h"))
@@ -238,6 +260,7 @@ class RollupJob:
             t1d, "1d", day_of_bucket, fail_after=fa("1d"),
             input_bytes=_dir_bytes(self._stage_dir("1h")),
             input_counts=day_counts(self._stage_dir("1h")),
+            input_day_bytes=_day_bytes(self._stage_dir("1h")),
         )
         return committed
 

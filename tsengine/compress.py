@@ -39,6 +39,13 @@ from __future__ import annotations
 
 import numpy as np
 
+# Persisted block wire-format version.  v1 (round 1) stored the first
+# timestamp delta in a fixed 32-bit header field; v2 routes it through the
+# DoD bucket coder (module docstring).  The layouts are NOT cross-decodable,
+# so every block row carries ``fmt`` and the decoder rejects unknown
+# versions instead of decoding silently wrong.
+BLOCK_FORMAT_VERSION = 2
+
 
 # ------------------------------------------------------------------ bit helpers
 def _pack_codes(codes: np.ndarray, lengths: np.ndarray) -> bytes:
@@ -640,9 +647,10 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
     )
     schema = (
         schema_prefix
-        + ", n int, first_ts long, first_val double, ts_block binary, val_block binary"
+        + ", n int, first_ts long, first_val double, ts_block binary,"
+        + " val_block binary, fmt tinyint"
     )
-    out_cols = gcols + ["n", "first_ts", "first_val", "ts_block", "val_block"]
+    out_cols = gcols + ["n", "first_ts", "first_val", "ts_block", "val_block", "fmt"]
 
     def encode_span(pdf, bounds):
         """Encode the series delimited by ``bounds`` inside pdf via the
@@ -653,7 +661,8 @@ def compress_series(df, group_cols=("series_id",), epoch_col="epoch", value_col=
         data = {c: pdf[c].to_numpy()[bounds[:-1]] for c in gcols}
         data.update(
             {"n": ns.astype("int32"), "first_ts": ft, "first_val": fv,
-             "ts_block": tb, "val_block": vb}
+             "ts_block": tb, "val_block": vb,
+             "fmt": np.full(len(ns), BLOCK_FORMAT_VERSION, dtype="int8")}
         )
         return pd.DataFrame(data, columns=out_cols)
 
@@ -689,9 +698,20 @@ def decompress_series(blocks_df, group_cols=("series_id",)):
     block rows — NO shuffle (the previous groupBy().applyInPandas paid a full
     exchange for nothing) — and each Arrow batch of blocks is decoded by the
     lock-step :func:`decode_blocks_batch` instead of a per-row, per-point
-    Python loop."""
+    Python loop.
+
+    Version gate: blocks must carry ``fmt == BLOCK_FORMAT_VERSION``; a
+    missing column is rejected at plan time and a mismatched value per
+    batch, so pre-v2 persisted blocks fail loudly instead of decoding to
+    wrong timestamps."""
     import pandas as pd
 
+    if "fmt" not in blocks_df.columns:
+        raise ValueError(
+            "compressed blocks carry no 'fmt' version column — these were "
+            "written by a pre-v2 encoder and are not decodable by this "
+            f"version (expected fmt={BLOCK_FORMAT_VERSION}); re-encode from raw"
+        )
     gcols = list(group_cols)
     schema_prefix = ", ".join(
         f"{c} {t}" for c, t in zip(gcols, _group_types(blocks_df, gcols))
@@ -702,6 +722,13 @@ def decompress_series(blocks_df, group_cols=("series_id",)):
         for pdf in batches:
             if not len(pdf):
                 continue
+            fmts = pdf["fmt"].to_numpy()
+            if (fmts != BLOCK_FORMAT_VERSION).any():
+                bad = sorted(set(int(x) for x in fmts[fmts != BLOCK_FORMAT_VERSION]))
+                raise ValueError(
+                    f"unsupported compressed-block format version(s) {bad}; "
+                    f"this decoder reads fmt={BLOCK_FORMAT_VERSION} only"
+                )
             ns = pdf["n"].to_numpy(dtype=np.int64)
             ts, vals = decode_blocks_batch(
                 ns,

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsengine.operators.textops import fingerprint, shingle_rows, shingles_expr
+from tsengine.operators.textops import (
+    fingerprint,
+    shingle_rows,
+    shingle_rows_raw,
+    shingles_expr,
+)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -50,12 +55,19 @@ def minhash_signatures(
     """K minhash values per doc via ONE md5 base hash per shingle plus K
     affine universal hashes (a_i*h + b_i) mod (2^31-1) — instead of K md5
     calls per shingle, which dominated the old profile.
-    Output: doc_id, mh (array<long> length K)."""
+    Output: doc_id, mh (array<long> length K).
+
+    Shuffles exactly once: raw (duplicate-preserving) shingle explode feeds
+    the groupBy(doc_id) min-agg directly, so only partially-aggregated K min
+    values per doc cross the wire.  min() over a multiset equals min() over
+    the set, so no shingle dedup is needed — a ``.distinct()`` here would
+    shuffle the entire exploded stream for an identical result (verified:
+    0 differing rows on sf0.1; 103.6 s vs 6.0 s cold at the bench conf)."""
     base = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
         % F.lit(MINHASH_P)
     )
-    e = shingle_rows(df, text_col, k=shingle_k).withColumn("_h", base)
+    e = shingle_rows_raw(df, text_col, k=shingle_k).withColumn("_h", base)
     mh_cols = []
     for i in range(num_hashes):
         a, b = minhash_affine(i)
@@ -120,23 +132,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.0,
-    max_doc_freq: int = 256,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
     Output: doc_a, doc_b, jaccard.
 
-    With ``pairs=None``, candidates are generated by an inverted-index
-    self-join restricted to RARE shingles (document frequency <=
-    ``max_doc_freq``).  The previous shape self-joined the full shingle
-    table: one stop-word shingle ("of the and") occurring in f·n documents
-    produced (f·n)^2 join rows — a quadratic blowup on a skewed key that a
-    100 TB corpus cannot survive.  The frequency cap bounds every join key
-    at ``max_doc_freq`` rows (<= cap^2 candidate pairs per shingle) while
-    the jaccard itself stays EXACT over the full shingle sets — only pairs
-    whose every common shingle is more frequent than the cap are missed,
-    and those are boilerplate-only overlaps.  For threshold-driven dedup
-    prefer LSH candidates (:func:`lsh_candidate_pairs`), which bound recall
-    by the band construction instead."""
+    With ``pairs=None``, candidates come from an inverted-index self-join.
+    ``max_doc_freq=None`` (default) keeps that join EXACT — every co-shingled
+    pair is a candidate — which is the right default for a recall-sensitive
+    caller but quadratic on skewed keys: one stop-word shingle ("of the and")
+    occurring in f·n documents produces (f·n)^2 join rows, which a 100 TB
+    corpus cannot survive.  Scale callers MUST opt into the cap: with
+    ``max_doc_freq=K`` candidate generation is restricted to RARE shingles
+    (document frequency <= K), bounding every join key at K rows while the
+    jaccard itself stays exact over the full shingle sets — only pairs whose
+    EVERY common shingle is more frequent than the cap are missed (recall
+    tradeoff, explicit at the call site per ADVICE r2).  For threshold-driven
+    dedup prefer LSH candidates (:func:`lsh_candidate_pairs`), which bound
+    recall by the band construction instead."""
     from pyspark.sql import Window
 
     # shingle rows carry their doc's shingle-set size via a window — the
@@ -146,7 +159,19 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(df, text_col, k=shingle_k).withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
-    if pairs is None:
+    if pairs is None and max_doc_freq is None:
+        # exact inverted-index self-join: every co-shingled pair is a
+        # candidate (unbounded join keys — see docstring for why scale
+        # callers must pass max_doc_freq)
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.s") == F.col("b.s"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"),
+                 F.first(F.col("a.n")).alias("na"), F.first(F.col("b.n")).alias("nb"))
+        )
+    elif pairs is None:
         # document frequency as a WINDOW over the shingle key: the window's
         # Exchange(s) already gives the self-join its clustering, so this is
         # the plain inverted-index self-join plan plus one window pass — and
@@ -278,6 +303,8 @@ def embedding_near_dups(
     planes: int | None = None,
     seed: int = 42,
     target_bucket: int = 128,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH bucket, exact
     cosine inside buckets, keep pairs >= threshold.
@@ -287,20 +314,33 @@ def embedding_near_dups(
     ~``target_bucket`` so the within-bucket self-join stays ~n·target_bucket
     pairs TOTAL at any n.  A fixed plane count is a scale bug — 2^planes
     buckets means O(n²/2^planes) pairs, quadratic again once n outgrows the
-    constant.  Pass an explicit ``planes`` only for reproducible small-scale
-    runs (the driver query pins 6 so the DuckDB oracle can mirror the
-    hyperplanes as literals).  Recall note: more planes = stricter buckets;
-    near-duplicate pairs at cosine >= ~0.95 flip few sign bits; use
+    constant.
+
+    REPRODUCIBILITY CAVEAT (ADVICE r2): with ``planes=None`` the plane count
+    — and therefore the returned pair set — depends on the corpus size, so
+    identical vectors can yield different pairs as the table grows.  Pin an
+    explicit ``planes`` for reproducible pipelines (the driver query pins 6
+    so the DuckDB oracle can mirror the hyperplanes as literals).
+
+    Actions: pass ``n`` (row count) and ``dim`` (vector length) to make this
+    call plan-only; when omitted they are computed with one ``count()`` /
+    ``first()`` action each — convenient interactively, wrong in a hot loop.
+
+    Recall note: more planes = stricter buckets; near-duplicate pairs at
+    cosine >= ~0.95 flip few sign bits; use
     :func:`embedding_near_dups_multiprobe` if recall at the chosen plane
-    count measures short."""
+    count measures short (measured recall pinned in
+    tests/test_dataops.py::test_multiprobe_recall)."""
     import math
 
     import numpy as np
 
     if planes is None:
-        n = emb.count()
+        if n is None:
+            n = emb.count()
         planes = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     hyper = rng.normal(size=(planes, dim))
     return _hyperplane_near_dups(emb, hyper, vec_col, id_col, threshold, False)
@@ -313,16 +353,19 @@ def embedding_near_dups_multiprobe(
     threshold: float = 0.95,
     planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multiprobe variant: the LEFT side of the candidate join also enters
     every bucket at Hamming distance 1 from its signature (flip each single
     plane bit), the right side stays exact — so pairs whose signatures
     differ in at most ONE plane are candidates, recovering the near-dups a
     single strict bucket loses when the plane count grows with n.  Join
-    volume grows by a factor of (planes+1) on one side only."""
+    volume grows by a factor of (planes+1) on one side only.  Pass ``dim``
+    to keep the call plan-only (otherwise one ``first()`` action)."""
     import numpy as np
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     hyper = rng.normal(size=(planes, dim))
     return _hyperplane_near_dups(emb, hyper, vec_col, id_col, threshold, True)

@@ -80,8 +80,13 @@ def group_by_legacy(
       placeholder row (af:190-196).
 
     Parity-only operator; the modern :func:`split` is the primary bucketing
-    path.  Placeholder enumeration walks the (few) distinct gap pairs on the
-    driver with the exact scalar calendar (incl. the DST guard, af:197-200).
+    path.  Placeholder enumeration is executor-side for fixed-width periods
+    (hour: a ``sequence()`` explode over each gap pair — no driver loop, so
+    multi-month gaps across many series cost one explode, not thousands of
+    driver iterations); calendar-variable periods (day/week/month/year, whose
+    Madrid period lengths vary with DST/month length) keep the scalar-calendar
+    driver walk over the few distinct gap pairs (incl. the DST guard,
+    af:197-200).
     """
     if period not in VALID_PERIODS:
         raise TsError(f"Invalid period given: {period}")
@@ -135,17 +140,39 @@ def group_by_legacy(
     # placeholders for empty periods strictly between a crossing's lower
     # side (prev point's period, or the seed's period) and upper side
     spark = df.sparkSession
-    gap_rows: list[tuple[int, int, int, None]] = []
-    gaps = (
-        crossed.select(
-            "series_id",
-            F.col("_prev_eff").alias("_lo_p"),
-            bucket_epoch_expr("_pivot", period, tz_name, shift=True).alias("_hi_p"),
+    gaps_df = crossed.select(
+        "series_id",
+        F.col("_prev_eff").alias("_lo_p"),
+        bucket_epoch_expr("_pivot", period, tz_name, shift=True).alias("_hi_p"),
+    ).filter(F.col("_hi_p") > F.col("_lo_p")).distinct()
+
+    if period == "hour":
+        # fixed-width path, fully distributed: hour periods are always 3600 s
+        # apart in epoch terms (tz offsets move in whole hours, so Madrid hour
+        # boundaries are UTC hour boundaries) — the placeholder epochs are
+        # exactly sequence(lo+3600, hi-3600, 3600), no scalar calendar needed
+        step = 3600
+        ph = (
+            gaps_df.filter(F.col("_hi_p") >= F.col("_lo_p") + 2 * step)
+            .select(
+                "series_id",
+                F.explode(
+                    F.sequence(
+                        F.col("_lo_p") + step, F.col("_hi_p") - step, F.lit(step)
+                    )
+                ).alias("bucket"),
+            )
+            .select(
+                "series_id",
+                "bucket",
+                F.col("bucket").alias("epoch"),
+                F.lit(None).cast("double").alias("value"),
+            )
         )
-        .filter(F.col("_hi_p") > F.col("_lo_p"))
-        .distinct()
-        .collect()
-    )
+        return out.unionByName(ph)
+
+    gap_rows: list[tuple[int, int, int, None]] = []
+    gaps = gaps_df.collect()
     for r in gaps:
         cur = time_interval_end(period, tz_name, int(r["_lo_p"]) + 60)
         while cur < int(r["_hi_p"]):

@@ -116,20 +116,29 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_rows(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id"):
-    """Exploded DISTINCT (id, shingle) rows.  Dedup happens as a hash
-    aggregate AFTER the explode, not via ``array_distinct`` inside the row:
-    array_distinct is an O(S^2) per-document scan (~4x the cost of the whole
-    explode+hash-dedup pipeline at 5k docs, and worse as documents grow),
-    while the shuffle dedup is O(S) and distributes."""
-    from pyspark.sql import functions as F
-
+def shingle_rows_raw(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id"):
+    """Exploded RAW (id, shingle) rows — duplicates preserved, zero shuffles.
+    This is the right input for any duplicate-insensitive downstream aggregate
+    (minhash: min() over a multiset == min() over the set), where a dedup pass
+    is pure waste: the ``.distinct()`` variant shuffles the ENTIRE exploded
+    stream and then pays a second exchange because (id, s) partitioning does
+    not satisfy a groupBy(id) clustering (measured 103.6 s vs 6.0 s cold on
+    sf0.1 — an extra full-data shuffle is exactly what does not survive
+    100 TB).  Use :func:`shingle_rows` only where set semantics matter."""
     toks = F.transform(tokens_expr(F.col(text_col)), lambda x: F.lower(x))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     arr = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
-    return df.select(id_col, F.explode(arr).alias("s")).distinct()
+    return df.select(id_col, F.explode(arr).alias("s"))
+
+
+def shingle_rows(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id"):
+    """Exploded DISTINCT (id, shingle) rows, for consumers that need SET
+    semantics (n-gram Jaccard set cardinalities).  Dedup happens as a hash
+    aggregate AFTER the explode, not via ``array_distinct`` inside the row
+    (O(S^2) per-document scan)."""
+    return shingle_rows_raw(df, text_col, k, id_col).distinct()
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:

@@ -93,16 +93,25 @@ class Engine:
     ) -> DataFrame:
         """tf:109-202, re-expressed lazily.  `now` is required (no wall
         clock).  Returns a one-series frame."""
-        time_int = int(time_int)
-        expand = _to_bool(expand)
-        distr = _to_bool(distr)
+        try:
+            time_int = int(time_int)
+            expand = _to_bool(expand)
+            distr = _to_bool(distr)
+        except (TypeError, ValueError):
+            raise TsError("parameters do not have required format")  # tf:137
         if now is None:
             raise TsError("now is required (no wall clock in the engine)")
-        now = int(now)
+        try:
+            now = int(now)
+        except (TypeError, ValueError):
+            raise TsError("time reference received is not an epoch")  # tf:157
 
         cc = kwargs.get("count", False)
         if cc:
-            cc = int(cc)
+            try:
+                cc = int(cc)
+            except (TypeError, ValueError):
+                raise TsError(f"count argument is not an integer: {cc!s}")  # tf:148
             kwargs["count"] = cc * time_int  # over-provision (tf:143-149)
         time_ref = time_int * (now // time_int)  # truncate now (tf:158)
 
@@ -216,24 +225,49 @@ class Engine:
             return from_ts_lists(spark, series)
 
         def distribute_ts_list(df, seconds=300, e_to=False, e_from=False, fill_value=None):
+            # argument-format errors with the reference's exact messages
+            # (tf:232, tf:238, tf:243)
+            try:
+                e_to = int(e_to) if e_to else None
+            except (TypeError, ValueError):
+                raise TsError("e_to must be an epoch")
+            try:
+                e_from = int(e_from) if e_from else None
+            except (TypeError, ValueError):
+                raise TsError("e_from must be an epoch")
+            try:
+                seconds = int(seconds)
+            except (TypeError, ValueError):
+                raise TsError("seconds must be an integer")
             return resample.distribute(
                 df,
-                seconds=int(seconds),
-                e_to=int(e_to) if e_to else None,
-                e_from=int(e_from) if e_from else None,
+                seconds=seconds,
+                e_to=e_to,
+                e_from=e_from,
                 fill_value=float(fill_value) if fill_value is not None else None,
             )
 
         def increments_fn(df, monotony="increasing", max_value=None, reset_value=0.0,
-                          validate="lazy"):
-            # "lazy" keeps the one-plan story: bounds are enforced inside the
-            # single job via raise_error, not by the reference's two eager
-            # pre-scan count actions (increments.py:27-44)
+                          validate=True):
+            # The compound language is the parity layer, so it keeps the
+            # reference's eager validation: out-of-range values raise TsError
+            # AT CALL TIME, same exception type and timing as tf:356-365
+            # (ADVICE r2).  Scale pipelines that want the one-plan story pass
+            # validate="lazy" explicitly (raise_error inside the single job,
+            # increments.py:47-67) or call the operator directly.
+            try:
+                max_value = float(max_value) if max_value is not None else None
+            except (TypeError, ValueError):
+                raise TsError("max_value is not a number")  # tf:349
+            try:
+                reset_value = float(reset_value)
+            except (TypeError, ValueError):
+                raise TsError("reset_value is not a number")  # tf:354
             return incr.increments(
                 df,
                 monotony=monotony,
-                max_value=float(max_value) if max_value is not None else None,
-                reset_value=float(reset_value),
+                max_value=max_value,
+                reset_value=reset_value,
                 validate=validate,
             )
 
@@ -241,7 +275,14 @@ class Engine:
             return _rekey_split(spl.split(df, period=period))
 
         def scalar(fn):
-            return lambda df, number: fn(df, float(number))
+            def call(df, number):
+                try:
+                    number = float(number)
+                except (TypeError, ValueError):
+                    raise TsError("number is not numeric")  # tf:601
+                return fn(df, number)
+
+            return call
 
         reg = {
             "generate_ts_list": generate_ts_list,

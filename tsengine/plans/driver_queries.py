@@ -292,6 +292,19 @@ def q_get_increments(spark, sf_dir):
     return _r6(out)
 
 
+def q_engine_usage_week(spark, sf_dir):
+    """E3 end-to-end through the public Engine API (tf:1218-1223): usage =
+    get_increments (closed week window + pre-window anchor -> hourly LOCF
+    grid -> increments) -> split(week, Madrid minute-0 quirk) -> rekey ->
+    merged inner_sum.  Complements q_usage_* (same math via split_agg) by
+    exercising the composite-entry-point registry path the reference's
+    users actually call (VERDICT r2 #8)."""
+    out = _engine(spark, sf_dir).usage(
+        API_SERIES, time_int=3600, now=API_NOW, range="last_week", group_by="week"
+    )
+    return _r6(out)
+
+
 def q_compound_formula(spark, sf_dir):
     """U1, the flagship compound shape (cp:86-203; parser_tests.py:541-551):
     one formula string -> lazy plan through the registry (get_variable ->
@@ -378,6 +391,34 @@ inc AS (SELECT epoch, value,
 SELECT CAST(0 AS BIGINT) AS series_id, epoch,
        round(CASE WHEN prev > value THEN value - 0.0 ELSE value - prev END, 6) AS value
 FROM inc WHERE prev IS NOT NULL
+"""
+
+# E3 via the Engine: the E2 pipeline over the closed week window, grouped
+# into Madrid calendar weeks, merged sum (series re-keyed to 0)
+ORACLE["q_engine_usage_week"] = f"""
+WITH base AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value FROM events
+              WHERE user_id = {API_SERIES}),
+win AS (SELECT * FROM base WHERE epoch >= {_GV_LO} AND epoch <= {_GV_HI}),
+pre AS (SELECT * FROM base WHERE epoch < {_GV_LO} ORDER BY epoch DESC LIMIT 1),
+pts AS (SELECT * FROM win UNION ALL SELECT * FROM pre),
+grid AS (SELECT unnest(generate_series({_GV_LO}, {_GV_HI}, 3600)) AS epoch,
+                CAST(NULL AS DOUBLE) AS value, 1 AS g),
+u AS (SELECT epoch, value, 0 AS g FROM pts UNION ALL SELECT * FROM grid),
+padded AS (SELECT epoch, g,
+    last_value(value IGNORE NULLS) OVER (ORDER BY epoch, g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pad FROM u),
+dist AS (SELECT epoch,
+    first_value(pad IGNORE NULLS) OVER (ORDER BY epoch
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+    FROM padded WHERE g = 1),
+inc AS (SELECT epoch, value,
+    lag(value) OVER (ORDER BY epoch) AS prev FROM dist),
+inc2 AS (SELECT epoch,
+    CASE WHEN prev > value THEN value - 0.0 ELSE value - prev END AS value
+    FROM inc WHERE prev IS NOT NULL)
+SELECT CAST(0 AS BIGINT) AS series_id, max(epoch) AS epoch,
+       round(sum(value), 6) AS value
+FROM inc2 GROUP BY {_bucket_sql('epoch', 'week')}
 """
 
 # U1: the E1 grid grouped into calendar days (minute-0 shift: every on-hour
@@ -678,6 +719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_get_variable": q_get_variable,
     "q_get_increments": q_get_increments,
     "q_compound_formula": q_compound_formula,
+    "q_engine_usage_week": q_engine_usage_week,
     "q_column_range": q_column_range,
     "q_group_by_legacy": q_group_by_legacy,
 }

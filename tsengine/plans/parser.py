@@ -121,6 +121,21 @@ class Evaluator:
         if node.name not in self.registry:
             raise ParseError(f"Unknown function: {node.name}")
         fn = self.registry[node.name]
+        # reference parity (ts_list_function decorator, tf:42-45): a kwarg
+        # the target function does not accept is a semantic error with the
+        # reference's message, not a Python TypeError
+        import inspect
+
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):  # builtins without signatures
+            params = None
+        if params is not None and not any(
+            p.kind == p.VAR_KEYWORD for p in params.values()
+        ):
+            for k in node.kwargs:
+                if k not in params:
+                    raise TsError(f"unknown argument {k}")
         args = [self.eval(a) for a in node.args]
         return fn(*args, **node.kwargs)
 

@@ -56,6 +56,12 @@ COMPRESSED_BLOCK = T.StructType(
         T.StructField("first_val", T.DoubleType(), False),
         T.StructField("ts_block", T.BinaryType(), False),
         T.StructField("val_block", T.BinaryType(), False),
+        # persisted wire-format version (compress.BLOCK_FORMAT_VERSION): the
+        # r2 encoder changed the timestamp stream layout (first delta moved
+        # from a 32-bit header into the DoD bucket coder), so blocks must
+        # self-describe — the decoder rejects unknown versions instead of
+        # decoding silently wrong
+        T.StructField("fmt", T.ByteType(), False),
     ]
 )
 
