@@ -48,6 +48,56 @@ def _run_noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _tier_match_rate(spark, raw, role_vocab, tool_vocab, n_sample=50):
+    """Fraction of (conv_id, bucket) tier rows that match the pure-python
+    reference oracle EXACTLY (cnt, cnt_lat, min/max/sum/mean bit-for-bit,
+    full role/tool distributions) on a deterministic conv sample.  The full
+    bit-for-bit sweep lives in tests/test_rollup.py; this reports the north
+    metric's match-rate figure alongside the throughput it qualifies."""
+    from oracle import reference_oracle as ro
+    from tsengine.operators import rollup as R
+
+    convs = [
+        r[0]
+        for r in raw.select("conv_id").distinct().orderBy("conv_id").limit(n_sample).collect()
+    ]
+    sub = raw.filter(raw.conv_id.isin(convs))
+    tiers = R.build_all_tiers(
+        R.with_latency(sub), role_vocab=role_vocab, tool_vocab=tool_vocab
+    )
+    by_conv: dict[str, list] = {}
+    for r in sorted(
+        sub.select("conv_id", "turn_idx", "role", "tool", "ts").collect(),
+        key=lambda r: (r["conv_id"], r["turn_idx"]),
+    ):
+        by_conv.setdefault(r["conv_id"], []).append(
+            {"epoch": int(r["ts"].timestamp()), "role": r["role"], "tool": r["tool"]}
+        )
+    rates = {}
+    for name in ("1m", "1h", "1d"):
+        exp = {}
+        for conv, t in by_conv.items():
+            for bucket, row in ro.rollup_tiers(t, tiers=((R.TIERS[name], name),))[name].items():
+                exp[(conv, bucket)] = row
+        got = {}
+        for r in tiers[name].collect():
+            got[(r["conv_id"], r["bucket"])] = r
+        matched = 0
+        for key, e in exp.items():
+            g = got.get(key)
+            ok = g is not None and all(
+                g[f] == e[f] for f in ("cnt", "cnt_lat", "vmin", "vmax", "vsum", "vmean")
+            )
+            if ok:
+                ok = (dict(g["role_dist"]) if g["role_dist"] else {}) == e["role_dist"] and (
+                    dict(g["tool_dist"]) if g["tool_dist"] else {}
+                ) == e["tool_dist"]
+            matched += bool(ok)
+        total = len(set(exp) | set(got))
+        rates[name] = round(matched / total, 6) if total else 1.0
+    return rates
+
+
 def main():
     # bench-substrate control: the sandbox block device serializes shuffle IO
     # a real executor's NVMe would not; tmpfs shuffle dirs are opt-in in
@@ -122,21 +172,44 @@ def main():
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     tier_sec = None
-    for _ in range(3):  # best-of-3: multi-second host-steal bursts are common
+    tier_secs: dict[str, float] = {}  # per-retention-tier build time (north metric)
+    tier_rows: dict[str, int] = {}
+    for it in range(3):  # best-of-3: multi-second host-steal bursts are common
         t0 = time.perf_counter()
         turns = R.with_latency(raw.coalesce(16))
         tiers = R.build_all_tiers(
             turns, persist=True, role_vocab=role_vocab, tool_vocab=tool_vocab
         )
+        t_prev = t0
         for name in ("1m", "1h", "1d"):
             _run_noop(tiers[name])
+            now = time.perf_counter()
+            # the 1m sink pays raw->1m; 1h pays (cached 1m)->1h; 1d pays
+            # (cached 1h)->1d — so each delta is that tier's own build cost
+            tier_secs[name] = min(tier_secs.get(name, 1e18), now - t_prev)
+            t_prev = now
+        dt = time.perf_counter() - t0
+        if it == 0:  # cached-tier counts, outside the timed region
+            for name in ("1m", "1h", "1d"):
+                tier_rows[name] = tiers[name].count()
         for name in ("1m", "1h"):
             tiers[name].unpersist()
-        dt = time.perf_counter() - t0
         tier_sec = dt if tier_sec is None else min(tier_sec, dt)
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    turns = R.with_latency(raw)
     timings["tier_pipeline_raw_1m_1h_1d"] = round(tier_sec, 3)
+    # points/sec PER retention tier (input points consumed by that stage /
+    # that stage's best build time): raw->1m eats n_turns, 1m->1h eats the
+    # 1m bucket rows, 1h->1d eats the 1h rows
+    tier_inputs = {"1m": n_turns, "1h": tier_rows["1m"], "1d": tier_rows["1h"]}
+    tier_pps = {
+        name: round(tier_inputs[name] / tier_secs[name], 1)
+        for name in ("1m", "1h", "1d")
+    }
+
+    # ---- tier-exact match rate (north metric): engine tiers vs the pure-
+    # python reference oracle on a deterministic conversation sample ----
+    tier_match = _tier_match_rate(spark, raw, role_vocab, tool_vocab)
+    turns = R.with_latency(raw)
 
     # compression throughput over the latency plane
     from tsengine import compress as C
@@ -144,9 +217,16 @@ def main():
     series = turns.selectExpr(
         "cast(hash(conv_id) as long) as series_id", "epoch", "coalesce(value, 0.0) as value"
     )
-    t0 = time.perf_counter()
-    _run_noop(C.compress_series(series))
-    timings["gorilla_compress"] = round(time.perf_counter() - t0, 3)
+    # best-of-2 like every other phase: this was the one single-shot timing
+    # left, and the host's steal bursts made it swing 3.1-9.1 s run-to-run
+    # on identical plans (r3 measurement)
+    gz_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _run_noop(C.compress_series(series))
+        dt = time.perf_counter() - t0
+        gz_sec = dt if gz_sec is None else min(gz_sec, dt)
+    timings["gorilla_compress"] = round(gz_sec, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -157,6 +237,9 @@ def main():
         "sf": sf,
         "transcript_turns": n_turns,
         "tier_points_per_sec": round(n_turns / tier_sec, 1),
+        "tier_points_per_sec_by_tier": tier_pps,
+        "tier_rows": tier_rows,
+        "tier_exact_match_rate": tier_match,
         "cpus": int(cpus),
     }
     print(json.dumps(out))
