@@ -330,6 +330,52 @@ def q_column_range(spark, sf_dir):
     return _r6(events_as_series(spark, sf_dir).filter(rng.predicate()))
 
 
+def q_truncate_round(spark, sf_dir):
+    """C9+C10 (intent of the reference's dead af:376-441, SURVEY §7.4.17):
+    floor value to 2.5-multiples, then round to 10-multiples, chained."""
+    ev = events_as_series(spark, sf_dir)
+    return _r6(arith.round_values(arith.truncate_values(ev, 2.5), 10.0))
+
+
+def q_gaussian_smooth(spark, sf_dir):
+    """A10 (af:669-686): histogram -> gaussian-kernel weighted moving
+    average.  Post-aggregation data is n_ints rows, so the smooth is a
+    driver-side numpy pass exactly as SURVEY prescribes; the result is
+    re-wrapped as a DataFrame for the driver compare."""
+    h = agg.histogram(
+        events_as_series(spark, sf_dir), lower_limit=0.0, upper_limit=500.0, n_ints=50
+    )
+    rows = [(r["lo"], r["hi"], r["cnt"]) for r in h.orderBy("bucket").collect()]
+    sm = agg.gaussian_smooth(rows, p_width=3)
+    out = spark.createDataFrame(
+        [(float(lo), float(hi), float(v)) for lo, hi, v in sm],
+        "lo double, hi double, smoothed double",
+    )
+    return out.select(
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("smoothed", 6).alias("smoothed"),
+    )
+
+
+def q_union_merge(spark, sf_dir):
+    """§2.7 (tf:407-447 merge_agg_func): union two disjoint-epoch hourly
+    series into one merged series — the cross-series epoch-collision assert
+    runs first, as in the reference's pre-merge check — then inner_sum over
+    the merged frame."""
+    ev = events_as_series(spark, sf_dir)
+    hs = spl.split_agg(ev, period="hour", agg="sum")
+    a = hs.filter((F.col("series_id") == 1) & (F.col("bucket") % 7200 == 0))
+    b = hs.filter((F.col("series_id") == 2) & (F.col("bucket") % 7200 != 0))
+    merged = a.unionByName(b).select(
+        F.lit(0).cast("long").alias("series_id"),
+        F.col("bucket").alias("epoch"),
+        "value",
+    )
+    agg.check_merge_collisions(merged)
+    return _r6(agg.inner_sum(merged))
+
+
 def q_group_by_legacy(spark, sf_dir):
     """W6 (af:114-205): boundary-duplicating legacy calendar group-by with
     interior-crossing seeds and empty-period placeholders, hour periods.
@@ -516,6 +562,45 @@ for _name, _fn in [
         f"SELECT series_id, max(epoch) AS epoch, round({_fn}(value), 6) AS value "
         f"FROM ({PTS}) GROUP BY series_id"
     )
+
+ORACLE["q_truncate_round"] = f"""
+SELECT series_id, epoch,
+       round(10.0 * round((2.5 * floor(value / 2.5)) / 10.0), 6) AS value
+FROM ({PTS})
+"""
+
+ORACLE["q_gaussian_smooth"] = """
+WITH buckets AS (SELECT unnest(generate_series(0, 49)) AS bucket),
+counts AS (
+  SELECT CAST(floor((value - 0.0) / 10.0) AS INT) AS bucket, count(*) AS c
+  FROM events WHERE value >= 0.0 AND value < 500.0 GROUP BY 1),
+h AS (
+  SELECT b.bucket AS bucket,
+         0.0 + b.bucket * 10.0 AS lo,
+         500.0 - (50 - b.bucket - 1) * 10.0 AS hi,
+         coalesce(c.c, 0) AS cnt
+  FROM buckets b LEFT JOIN counts c ON b.bucket = c.bucket),
+x AS (SELECT bucket, lo, hi, (lo + hi) / 2.0 AS mid, cnt FROM h)
+SELECT round(a.lo, 6) AS lo, round(a.hi, 6) AS hi,
+       round(sum(b.cnt * exp(-((b.mid - a.mid) * (b.mid - a.mid)) / 1800.0))
+             / sum(exp(-((b.mid - a.mid) * (b.mid - a.mid)) / 1800.0)), 6)
+         AS smoothed
+FROM x a CROSS JOIN x b
+GROUP BY a.bucket, a.lo, a.hi
+"""
+
+ORACLE["q_union_merge"] = f"""
+WITH pts AS ({PTS}),
+hs AS (SELECT series_id, {_bucket_sql('epoch', 'hour')} AS bucket,
+              sum(value) AS value
+       FROM pts GROUP BY 1, 2),
+m AS (SELECT bucket AS epoch, value FROM hs
+      WHERE (series_id = 1 AND bucket % 7200 = 0)
+         OR (series_id = 2 AND bucket % 7200 <> 0))
+SELECT CAST(0 AS BIGINT) AS series_id, max(epoch) AS epoch,
+       round(sum(value), 6) AS value
+FROM m
+"""
 
 ORACLE["q_last_3"] = f"""
 SELECT series_id, epoch, round(value, 6) AS value FROM (
@@ -722,4 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_engine_usage_week": q_engine_usage_week,
     "q_column_range": q_column_range,
     "q_group_by_legacy": q_group_by_legacy,
+    "q_truncate_round": q_truncate_round,
+    "q_gaussian_smooth": q_gaussian_smooth,
+    "q_union_merge": q_union_merge,
 }
