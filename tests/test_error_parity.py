@@ -2,9 +2,9 @@
 paths (VERDICT r2 #8).  Messages are pinned verbatim against
 tests/analysis/timeseries_functions_tests.py:196-257,324-371 and the
 producing code in src/analysis/timeseries_functions.py (tf: line refs in
-each assert).  Only driver-side validations are covered here — data-
-dependent errors (monotony bounds, merge collision, non-scalar values) are
-pinned in test_increments/test_aggregates/test_core.
+each assert).  Covers driver-side argument validations AND the
+data-dependent errors (all four monotony/range bounds, merge collision,
+non-scalar values) with messages matched verbatim (^...$).
 """
 
 import pytest
@@ -112,3 +112,52 @@ def test_formula_unknown_kwarg(eng):
             "scalar_product(get_variable(7; time_int = 300; now = 1393630000; "
             "range = this_hour); number = 2; bogus = 1)"
         )
+
+
+# ---- data-dependent bounds: all four monotony/range messages (tf:356-365) ----
+
+def test_monotony_value_lower_than_reset(eng, spark):
+    # tf:358; increasing + value below reset_value
+    bad = from_ts_lists(spark, [[(1, -1.0), (2, 10.0), (3, 20.0)]])
+    with pytest.raises(TsError, match="^value lower than reset_value$"):
+        eng.registry()["increments"](bad, monotony="increasing")
+
+
+def test_monotony_value_greater_than_max(eng, spark):
+    # tf:360; increasing + max_value exceeded
+    bad = from_ts_lists(spark, [[(1, 1.0), (2, 10.0), (3, 20.0)]])
+    with pytest.raises(TsError, match="^value greater than max_value$"):
+        eng.registry()["increments"](bad, monotony="increasing", max_value=15.0)
+
+
+def test_monotony_value_lower_than_max_decreasing(eng, spark):
+    # tf:365; decreasing + value under max_value (reset high enough to pass)
+    bad = from_ts_lists(spark, [[(1, -30.0), (2, -10.0), (3, -20.0)]])
+    with pytest.raises(TsError, match="^value lower than max_value$"):
+        eng.registry()["increments"](
+            bad, monotony="decreasing", reset_value=0.0, max_value=-25.0
+        )
+
+
+# ---- non-scalar value plane (tf:398-405; test_inc_5 / test_scp_2) ----
+
+def test_non_scalar_values_found(spark):
+    from tsengine.core import assert_castable
+
+    bad = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "2.0")], "series_id long, epoch long, value string"
+    )
+    with pytest.raises(TsError, match="^Non scalar values found$"):
+        assert_castable(bad)
+
+
+# ---- cross-series merge collision (tf:443-444; test_scp_5 analogue) ----
+
+def test_merge_collision_non_unique_index(spark):
+    from tsengine.core import from_ts_lists as ftl
+    from tsengine.operators.aggregates import check_merge_collisions
+
+    two = ftl(spark, [[(1, 1.0), (2, 2.0)], [(2, 5.0), (3, 6.0)]])
+    merged = two.selectExpr("cast(0 as long) as series_id", "epoch", "value")
+    with pytest.raises(TsError, match="^Non unique index$"):
+        check_merge_collisions(merged)

@@ -94,13 +94,18 @@ def ts_to_float(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     Rows that fail the cast become NULL; use :func:`assert_castable` where the
     reference's 'Non scalar values found' error semantics are required.
+    ``try_cast`` (not ``cast``): under Spark's ANSI default a plain cast
+    throws CAST_INVALID_INPUT at execution instead of yielding NULL.
     """
-    return df.withColumn(value_col, F.col(value_col).cast("double"))
+    return df.withColumn(value_col, F.col(value_col).try_cast("double"))
 
 
 def assert_castable(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Error-on-non-castable variant of the float cast (tf:398-405)."""
-    casted = df.withColumn("_casted", F.col(value_col).cast("double"))
+    """Error-on-non-castable variant of the float cast (tf:398-405).
+
+    ``try_cast`` so malformed values surface as the reference's own
+    'Non scalar values found' TsError, not a raw ANSI CAST_INVALID_INPUT."""
+    casted = df.withColumn("_casted", F.col(value_col).try_cast("double"))
     bad = casted.filter(F.col(value_col).isNotNull() & F.col("_casted").isNull()).limit(1).collect()
     if bad:
         raise TsError("Non scalar values found")
