@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from tsengine.operators.textops import (
     fingerprint,
-    shingle_rows,
     shingle_rows_raw,
     shingles_expr,
 )
@@ -152,12 +151,17 @@ def ngram_jaccard_pairs(
     recall by the band construction instead."""
     from pyspark.sql import Window
 
-    # shingle rows carry their doc's shingle-set size via a window — the
-    # sizes ride through the join, so no per-doc sizes table and no two
-    # extra joins at the end (the old shape recomputed the text->shingle
-    # explode three times).
-    sh = shingle_rows(df, text_col, k=shingle_k).withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    # shingle rows carry their doc's shingle-set size so the sizes ride
+    # through the join (no per-doc sizes table, no extra joins at the end).
+    # ONE exchange builds both: groupBy(doc_id).collect_set dedups map-side
+    # and yields the set AND its size in the same pass — where the previous
+    # shape paid the `.distinct()` exchange on (doc_id, s) PLUS a second
+    # exchange + sort for the count-over-doc window.
+    sh = (
+        shingle_rows_raw(df, text_col, k=shingle_k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("_ss"))
+        .select("doc_id", F.size("_ss").alias("n"), F.explode("_ss").alias("s"))
     )
     if pairs is None and max_doc_freq is None:
         # exact inverted-index self-join: every co-shingled pair is a
