@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from tsengine.operators.textops import (
     fingerprint,
     shingle_rows_raw,
-    shingles_expr,
 )
 
 
