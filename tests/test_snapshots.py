@@ -1,0 +1,201 @@
+"""Snapshot-table format tests: atomic commits, snapshot isolation, time
+travel, incremental reads, manifest file pruning, optimistic concurrency,
+retention expiry — and the incremental continuous-aggregate identity
+(merge_tier(rollup(prev), rollup(increment)) == rollup(full))."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine.operators import rollup as R
+from tsengine.sources.snapshots import CommitConflict, SnapshotTable
+
+
+def _turns(spark, conv_ids, t0=1_600_000_000, n=40, gap=30):
+    rows = []
+    for c in conv_ids:
+        for i in range(n):
+            rows.append((c, i, "user" if i % 2 else "assistant",
+                         f"text {c} {i}", "bash" if i % 5 == 0 else None,
+                         t0 + i * gap + (hash(c) % 97)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    )
+    return df.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.timestamp_seconds("e").alias("ts"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("conv_id", "turn_idx", "role", "text", "tool",
+                                       F.col("ts").cast("long")).collect()))
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1 = _turns(spark, ["a", "b"])
+    sid = t.append(d1)
+    assert sid == 1
+    assert _rows(t.read(spark)) == _rows(d1)
+    assert t.read(spark).schema == d1.schema
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1, d2 = _turns(spark, ["a"]), _turns(spark, ["b"])
+    s1 = t.append(d1)
+    s2 = t.append(d2)
+    # a reader pinned at s1 is unaffected by the later append
+    assert _rows(t.read(spark, snapshot_id=s1)) == _rows(d1)
+    assert _rows(t.read(spark, snapshot_id=s2)) == _rows(d1.unionByName(d2))
+    # as_of resolves by commit time
+    at1 = t.snapshot(s1)["committed_at"]
+    assert t.as_of(at1) == s1
+    assert t.as_of(t.snapshot(s2)["committed_at"]) == s2
+    with pytest.raises(ValueError):
+        t.as_of(at1 - 1e6)
+
+
+def test_overwrite_keeps_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1, d2 = _turns(spark, ["a"]), _turns(spark, ["z"])
+    s1 = t.append(d1)
+    s2 = t.overwrite(d2)
+    assert _rows(t.read(spark)) == _rows(d2)
+    assert _rows(t.read(spark, snapshot_id=s1)) == _rows(d1)
+    assert [s["operation"] for s in t.snapshots()] == ["append", "overwrite"]
+    assert s2 == 2
+
+
+def test_incremental_reads_only_added_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1, d2, d3 = _turns(spark, ["a"]), _turns(spark, ["b"]), _turns(spark, ["c"])
+    s1 = t.append(d1)
+    s2 = t.append(d2)
+    s3 = t.append(d3)
+    inc = t.incremental(spark, from_id=s1, to_id=s3)
+    assert _rows(inc) == _rows(d2.unionByName(d3))
+    # files planned = only those added after s1
+    added = {os.path.join(t.path, p)
+             for sid in (s2, s3) for p in t.snapshot(sid)["added"]}
+    assert set(inc.inputFiles()) <= {f"file://{p}" for p in added} | added
+    # an overwrite inside the range invalidates the diff
+    t.overwrite(d1)
+    with pytest.raises(ValueError, match="overwrite"):
+        t.incremental(spark, from_id=s1)
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """Crash between data write and pointer swap == clean previous state."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1 = _turns(spark, ["a"])
+    t.append(d1)
+    # simulate a writer dying after staging data files but before commit
+    t._write_data(_turns(spark, ["ghost"]))
+    assert _rows(t.read(spark)) == _rows(d1)
+    # and dying after the manifest write but before the pointer swap:
+    files, schema = t._write_data(_turns(spark, ["ghost2"]))
+    from tsengine.sources.snapshots import _write_json_atomic
+    man = {"snapshot_id": 99, "parent_id": 1, "operation": "append",
+           "committed_at": 0, "schema": schema, "files": files,
+           "added": [f["path"] for f in files], "added_rows": 0, "added_bytes": 0}
+    _write_json_atomic(t._snap_path(99), man)
+    assert t.current_snapshot_id() == 1
+    assert _rows(t.read(spark)) == _rows(d1)
+    # recovery: the next append still works
+    t2 = SnapshotTable(str(tmp_path / "tbl"))
+    t2.append(_turns(spark, ["b"]))
+    assert t2.current_snapshot_id() == 2
+
+
+def test_manifest_file_pruning(spark, tmp_path):
+    """Disjoint ts ranges per append -> a bounded read opens only matching
+    files (Iceberg-style manifest pruning, checked via inputFiles)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    day = 86400
+    t.append(_turns(spark, ["a"], t0=1_600_000_000))
+    t.append(_turns(spark, ["b"], t0=1_600_000_000 + 10 * day))
+    t.append(_turns(spark, ["c"], t0=1_600_000_000 + 20 * day))
+    full = t.read(spark)
+    bounded = t.read(spark, lo=1_600_000_000 + 10 * day - 100,
+                     hi=1_600_000_000 + 10 * day + 100 + 40 * 30)
+    assert len(bounded.inputFiles()) < len(full.inputFiles())
+    assert sorted(r[0] for r in bounded.select("conv_id").distinct().collect()) == ["b"]
+    # residual filter exactness: empty window inside covered range
+    assert t.read(spark, lo=1_600_000_001, hi=1_600_000_001).count() <= 1
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_turns(spark, ["a"]))
+    files, schema = t._write_data(_turns(spark, ["b"]))
+    # another writer wins the race
+    SnapshotTable(t.path).append(_turns(spark, ["c"]))
+    with pytest.raises(CommitConflict):
+        t._commit("append", files, schema, expected_parent=1)
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.append(_turns(spark, ["a"]))
+    t.overwrite(_turns(spark, ["b"]))
+    t.append(_turns(spark, ["c"]))
+    before = _rows(t.read(spark))
+    deleted = t.expire_snapshots(keep_last=2)
+    assert deleted  # snapshot-1-only files are gone
+    assert _rows(t.read(spark)) == before  # live reads unaffected
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(s1)
+    for p in deleted:
+        assert not os.path.exists(os.path.join(t.path, p))
+
+
+def test_incremental_continuous_aggregate_identity(spark, tmp_path):
+    """merge_tier(rollup(base), rollup(increment)) == rollup(full) bit-for-bit
+    across all three tiers — appends split at conversation boundaries so the
+    latency plane is self-contained per input (mid-conversation appends go
+    through the streaming state path instead; see merge_tier docstring)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base_convs, new_convs = ["a", "b", "c"], ["d", "e"]
+    s1 = t.append(_turns(spark, base_convs, n=60, gap=45))
+    s2 = t.append(_turns(spark, new_convs, n=25, gap=400))
+
+    vocab = dict(role_vocab=["assistant", "user"], tool_vocab=["bash"])
+    full_tiers = R.build_all_tiers(R.with_latency(t.read(spark)), **vocab)
+    base_tiers = R.build_all_tiers(
+        R.with_latency(t.read(spark, snapshot_id=s1)), **vocab
+    )
+    inc_tiers = R.build_all_tiers(
+        R.with_latency(t.incremental(spark, from_id=s1, to_id=s2)), **vocab
+    )
+    for name in ("1m", "1h", "1d"):
+        merged = R.merge_tier(base_tiers[name], inc_tiers[name])
+        a = merged.selectExpr("conv_id", "tier", "bucket", "cnt", "cnt_lat",
+                              "vmin", "vmax", "vsum", "vmean",
+                              "map_entries(role_dist) as rd", "map_entries(tool_dist) as td")
+        b = full_tiers[name].selectExpr("conv_id", "tier", "bucket", "cnt", "cnt_lat",
+                                        "vmin", "vmax", "vsum", "vmean",
+                                        "map_entries(role_dist) as rd", "map_entries(tool_dist) as td")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+
+
+def test_merge_tier_overlapping_buckets(spark):
+    """Two slices of the SAME conversation+bucket merge additively (the
+    mid-bucket append case once latencies are resolved)."""
+    rows1 = [("c", "1m", 600, 3, 2, 5.0, 9.0, 14.0, 7.0, {"user": 2, "assistant": 1}, {"bash": 1})]
+    rows2 = [("c", "1m", 600, 2, 2, 1.0, 4.0, 5.0, 2.5, {"user": 1, "assistant": 1}, None),
+             ("c", "1m", 660, 1, 0, None, None, None, None, {"user": 1}, None)]
+    schema = ("conv_id string, tier string, bucket long, cnt long, cnt_lat long, "
+              "vmin double, vmax double, vsum double, vmean double, "
+              "role_dist map<string,bigint>, tool_dist map<string,bigint>")
+    m = {r["bucket"]: r for r in
+         (row.asDict() for row in R.merge_tier(
+             spark.createDataFrame(rows1, schema),
+             spark.createDataFrame(rows2, schema)).collect())}
+    assert m[600]["cnt"] == 5 and m[600]["cnt_lat"] == 4
+    assert m[600]["vmin"] == 1.0 and m[600]["vmax"] == 9.0 and m[600]["vsum"] == 19.0
+    assert m[600]["vmean"] == pytest.approx(19.0 / 4)
+    assert dict(m[600]["role_dist"]) == {"user": 3, "assistant": 2}
+    assert dict(m[600]["tool_dist"]) == {"bash": 1}
+    assert m[660]["cnt"] == 1 and m[660]["vmin"] is None

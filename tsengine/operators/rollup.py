@@ -309,6 +309,46 @@ def rollup_exact(turns: DataFrame, tier: str = "1m") -> DataFrame:
     return b.groupBy("conv_id", "bucket").applyInPandas(kernel, schema=schema)
 
 
+def merge_tier(*tiers: DataFrame) -> DataFrame:
+    """Fold same-tier rollup frames into one — the incremental
+    continuous-aggregate merge: ``merge_tier(prev_state, rollup(increment))``
+    updates a materialized tier from an append-only snapshot diff
+    (tsengine.sources.snapshots.incremental) without rescanning history.
+
+    Sound because every column is a decomposable aggregate over disjoint-or-
+    overlapping bucket slices: cnt/cnt_lat/vsum add, vmin/vmax take min/max,
+    distributions merge per key, vmean recomputes from vsum/cnt_lat.  The
+    caller owns the latency-plane boundary: a turn whose latency depends on a
+    row in another input must appear in exactly one input with its latency
+    already resolved (split appends at conversation boundaries, or carry
+    last-epoch state via tsengine.streaming.continuous for mid-conversation
+    appends)."""
+    if not tiers:
+        raise ValueError("merge_tier needs at least one input")
+    u = tiers[0]
+    for t in tiers[1:]:
+        u = u.unionByName(t)
+    out = (
+        u.groupBy("conv_id", "tier", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("cnt_lat").alias("cnt_lat"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+            F.collect_list("role_dist").alias("_role_maps"),
+            F.collect_list("tool_dist").alias("_tool_maps"),
+        )
+        .withColumn("role_dist", _merge_maps("_role_maps"))
+        .withColumn("tool_dist", _merge_maps("_tool_maps"))
+        .withColumn("vmean", F.col("vsum") / F.nullif(F.col("cnt_lat"), F.lit(0)))
+    )
+    return out.select(
+        "conv_id", "tier", "bucket", "cnt", "cnt_lat", "vmin", "vmax", "vsum",
+        "vmean", "role_dist", "tool_dist",
+    )
+
+
 def build_all_tiers(
     turns: DataFrame,
     persist: bool = False,
