@@ -1,0 +1,166 @@
+"""Incremental materialized tiers: equivalence with a full rebuild across
+appends (including mid-conversation appends via conv-state anchors),
+slice-local refresh (untouched tier files reused by reference), kill-resume
+reconciliation, idempotent refresh, lineage, and per-tier retention."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine.materialize import InjectedFailure, MaterializedTiers
+from tsengine.operators import rollup as R
+from tsengine.sources.snapshots import SnapshotTable
+
+
+def _turns(spark, conv_ids, t0=1_600_000_000, n=40, gap=30, idx0=0):
+    rows = []
+    for c in conv_ids:
+        for i in range(idx0, idx0 + n):
+            rows.append((c, i, "user" if i % 2 else "assistant",
+                         f"text {c} {i}", "bash" if i % 5 == 0 else None,
+                         t0 + i * gap + (hash(c) % 97)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    )
+    return df.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.timestamp_seconds("e").alias("ts"))
+
+
+def _norm(df):
+    return df.selectExpr(
+        "conv_id", "tier", "bucket", "cnt", "cnt_lat", "vmin", "vmax", "vsum",
+        "vmean", "map_entries(role_dist) as rd", "map_entries(tool_dist) as td")
+
+
+def _assert_tiers_equal(mat, spark, full_turns, msg=""):
+    full = R.build_all_tiers(R.with_latency(full_turns.drop("text")))
+    for t in R.TIER_ORDER:
+        a, b = _norm(mat.read_tier(spark, t)), _norm(full[t])
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, f"{t} {msg}"
+
+
+@pytest.fixture()
+def src_mat(spark, tmp_path):
+    src = SnapshotTable(str(tmp_path / "src"))
+    mat = MaterializedTiers(src, str(tmp_path / "mat"))
+    return src, mat
+
+
+def test_incremental_equals_full_rebuild_with_midconv_appends(spark, src_mat):
+    """Three appends: new convs, then MID-CONVERSATION continuations (turn
+    streams resume with higher turn_idx), then a mix.  After each refresh the
+    materialized tiers equal a from-scratch rebuild of everything so far —
+    the continuation's first-turn latency must bridge the snapshot boundary
+    through the conv state."""
+    src, mat = src_mat
+    d1 = _turns(spark, ["a", "b", "c"], n=30, gap=45)
+    src.append(d1)
+    mat.refresh(spark)
+    _assert_tiers_equal(mat, spark, d1, "after d1")
+
+    # continuation of a and b: idx0=30, later epochs (t0 shifted)
+    d2 = _turns(spark, ["a", "b"], t0=1_600_000_000 + 30 * 45, n=20, gap=45, idx0=30)
+    src.append(d2)
+    mat.refresh(spark)
+    _assert_tiers_equal(mat, spark, d1.unionByName(d2), "after d2")
+
+    # mix: new conv d + continuation of c, two days later
+    d3 = _turns(spark, ["d"], t0=1_600_000_000 + 2 * 86400, n=15)
+    d3 = d3.unionByName(
+        _turns(spark, ["c"], t0=1_600_000_000 + 2 * 86400, n=10, gap=500, idx0=30))
+    src.append(d3)
+    mat.refresh(spark)
+    full = d1.unionByName(d2).unionByName(d3)
+    _assert_tiers_equal(mat, spark, full, "after d3")
+
+    # the bridge latency is really there: conv a bucket containing turn 30
+    # has cnt_lat counting it (latency = 45s vs last turn of d1)
+    # d2's generator: epoch = (t0 + 30*45) + i*gap + off with i starting at 30
+    e30 = 1_600_000_000 + 30 * 45 + 30 * 45 + (hash("a") % 97)
+    row = (mat.read_tier(spark, "1m")
+           .filter((F.col("conv_id") == "a") & (F.col("bucket") == 60 * (e30 // 60)))
+           .collect())
+    assert row and row[0]["cnt_lat"] == row[0]["cnt"]  # no NULL-latency restart
+
+
+def test_slice_local_refresh_reuses_untouched_files(spark, src_mat):
+    """An append touching only recent buckets must carry old tier files into
+    the new snapshot by reference (reused_files > 0 in lineage, old paths
+    present in the new manifest)."""
+    src, mat = src_mat
+    src.append(_turns(spark, ["a", "b"], t0=1_600_000_000, n=50))
+    mat.refresh(spark)
+    t1m = mat.tiers["1m"]
+    old_paths = {f["path"] for f in t1m.snapshot(t1m.current_snapshot_id())["files"]}
+
+    # 10 days later — disjoint buckets
+    src.append(_turns(spark, ["z"], t0=1_600_000_000 + 10 * 86400, n=50))
+    mat.refresh(spark)
+    new_man = t1m.snapshot(t1m.current_snapshot_id())
+    new_paths = {f["path"] for f in new_man["files"]}
+    assert old_paths <= new_paths  # reused by reference, not rewritten
+    lin = [r for r in mat.lineage_rows()
+           if r["component"] == "1m" and r["source_from_id"] == 1]
+    assert lin and lin[0]["reused_files"] == len(old_paths) > 0
+    full = _turns(spark, ["a", "b"], n=50).unionByName(
+        _turns(spark, ["z"], t0=1_600_000_000 + 10 * 86400, n=50))
+    _assert_tiers_equal(mat, spark, full, "after disjoint append")
+
+
+def test_kill_resume_reconciles(spark, src_mat):
+    """Kill after each possible number of component commits mid-refresh; a
+    plain re-run must reconcile to the exact full-rebuild state."""
+    src, mat = src_mat
+    src.append(_turns(spark, ["a", "b"], n=30))
+    mat.refresh(spark)
+    src.append(_turns(spark, ["a"], t0=1_600_000_000 + 30 * 30, n=20, idx0=30))
+    src.append(_turns(spark, ["c"], t0=1_600_000_000 + 86400, n=20))
+
+    with pytest.raises(InjectedFailure):
+        mat.refresh(spark, fail_after=2)  # dies after 1m and 1h commits
+    pos = mat.positions()
+    assert pos["1m"] == 3 and pos["convstate"] == 1  # mixed positions
+
+    mat.refresh(spark)  # reconcile + finish
+    assert set(mat.positions().values()) == {3}
+    full = (_turns(spark, ["a", "b"], n=30)
+            .unionByName(_turns(spark, ["a"], t0=1_600_000_000 + 30 * 30, n=20, idx0=30))
+            .unionByName(_turns(spark, ["c"], t0=1_600_000_000 + 86400, n=20)))
+    _assert_tiers_equal(mat, spark, full, "after kill-resume")
+
+
+def test_refresh_idempotent(spark, src_mat):
+    src, mat = src_mat
+    src.append(_turns(spark, ["a"]))
+    mat.refresh(spark)
+    sids = {t: tbl.current_snapshot_id() for t, tbl in mat.tiers.items()}
+    mat.refresh(spark)  # no new source snapshot -> no-op
+    assert sids == {t: tbl.current_snapshot_id() for t, tbl in mat.tiers.items()}
+
+
+def test_retention_policy(spark, src_mat):
+    """Raw expires after 1 day, 1m after 5 days, 1d kept: old raw/1m files
+    are physically deleted, the 1d aggregates of the expired window survive,
+    and a subsequent append + refresh still works (incremental reads skip
+    the pure-delete commit)."""
+    src, mat = src_mat
+    t0 = 1_600_000_000
+    src.append(_turns(spark, ["old"], t0=t0, n=40))
+    src.append(_turns(spark, ["new"], t0=t0 + 10 * 86400, n=40))
+    mat.refresh(spark)
+
+    now = t0 + 10 * 86400 + 40 * 30
+    res = mat.apply_retention(
+        {"raw": 86400, "1m": 5 * 86400, "1h": 30 * 86400, "1d": 365 * 86400},
+        now_epoch=now, keep_snapshots=1)
+    assert res["raw"] is not None and res["1m"] is not None
+    assert src.read(spark).filter(F.col("conv_id") == "old").count() == 0
+    assert mat.read_tier(spark, "1m").filter(F.col("conv_id") == "old").count() == 0
+    # the coarse tier keeps the expired window's aggregates
+    old_1d = mat.read_tier(spark, "1d").filter(F.col("conv_id") == "old").collect()
+    assert len(old_1d) == 1 and old_1d[0]["cnt"] == 40
+    # positions survive the truncation commits; refresh still incremental
+    src.append(_turns(spark, ["new2"], t0=now, n=10))
+    mat.refresh(spark)
+    assert mat.read_tier(spark, "1d").filter(F.col("conv_id") == "new2").count() == 1

@@ -1,0 +1,307 @@
+"""Incremental continuous aggregates over a snapshot table — the
+materialized-view maintainer the north rule describes: retention tiers
+(1m/1h/1d) kept up to date against an append-only transcript table WITHOUT
+rescanning history.
+
+Per refresh (source snapshot ``from`` -> ``to``):
+
+1. read ONLY the files added in ``(from, to]`` (SnapshotTable.incremental);
+2. restore latency continuity for mid-conversation appends by unioning one
+   anchor row per affected conversation from the persisted conv state
+   (conv_id, last_turn_idx, last_epoch) before :func:`rollup.with_latency`
+   — the first appended turn's latency is computed against the last turn of
+   the PREVIOUS refresh, then anchors are dropped;
+3. roll the increment up 1m -> 1h -> 1d (partial reaggregation, never raw);
+4. fold each tier increment into the materialized tier with
+   :func:`rollup.merge_tier` — but only over the *touched slice*: the
+   increment's bucket range comes action-free from the source manifest's
+   added-file ts stats, the prior tier files overlapping that range are the
+   only ones read and rewritten, and every untouched file is carried into
+   the new tier snapshot by reference (SnapshotTable.replace_files).
+   Refresh cost is O(increment + overlapping slice), not O(history) — the
+   property that matters at 10^12 turns, where a day's append must not
+   rewrite three years of 1m buckets;
+5. commit tiers in fixed order (1m, 1h, 1d), conv state LAST, each commit
+   carrying ``source_to_id`` in its snapshot properties.  A kill between any
+   two commits leaves components at mixed source positions; :meth:`refresh`
+   reconciles by advancing laggards to the max recorded position first
+   (using the conv state, which by commit order is always at the laggard
+   position), then advancing everything to the source head.  Re-running a
+   completed refresh is a no-op (idempotent by properties check).
+
+Lineage: one JSON record per (component, from->to) refresh with input
+rows/bytes (from source manifests — free) and output added rows/bytes (from
+the tier commit's own manifest).
+
+Retention (:meth:`apply_retention`): per-tier age cutoffs expire whole data
+files via manifest-only commits (SnapshotTable.truncate_before) — raw turns
+can be dropped after N days while the 1d tier keeps its aggregates forever,
+which is the downsample-retention contract.
+
+Scale notes: conv state is one row per conversation and is rewritten per
+refresh; at 10^9 conversations partition it by conv_id hash bucket and
+rewrite only buckets containing appended conversations (same
+replace_files mechanism; not needed at sandbox scale).  Anchor join is a
+broadcast when the increment's conversation set is small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.operators import rollup as R
+from tsengine.sources.snapshots import SnapshotTable
+
+_SRC_PROP = "source_to_id"
+COMPONENTS = ("1m", "1h", "1d", "convstate")
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fail_after test hook to simulate a mid-refresh kill."""
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class MaterializedTiers:
+    """Materialized 1m/1h/1d rollups + conv state over a source
+    :class:`SnapshotTable` of transcripts, refreshed incrementally."""
+
+    def __init__(self, source: SnapshotTable, state_dir: str,
+                 role_vocab: list | None = None, tool_vocab: list | None = None):
+        self.source = source
+        self.state_dir = state_dir
+        self.role_vocab = role_vocab
+        self.tool_vocab = tool_vocab
+        os.makedirs(os.path.join(state_dir, "_lineage"), exist_ok=True)
+        # tier tables index their manifest stats on the bucket column, so
+        # time-bounded tier reads and retention prune manifest-side
+        self.tiers = {
+            t: SnapshotTable(os.path.join(state_dir, f"tier={t}"), ts_col="bucket")
+            for t in R.TIER_ORDER
+        }
+        self.convstate = SnapshotTable(
+            os.path.join(state_dir, "convstate"), ts_col=None
+        )
+
+    # ---------------- positions ----------------
+
+    def _position(self, component: str) -> int:
+        tbl = self.convstate if component == "convstate" else self.tiers[component]
+        return int(tbl.properties().get(_SRC_PROP, 0))
+
+    def positions(self) -> dict[str, int]:
+        """Source snapshot id each component currently reflects (0 = empty)."""
+        return {c: self._position(c) for c in COMPONENTS}
+
+    # ---------------- lineage ----------------
+
+    def _lineage(self, component: str, from_id: int, to_id: int,
+                 in_rows: int, in_bytes: int, out_rows: int, out_bytes: int,
+                 reused_files: int, rewritten_files: int) -> None:
+        _write_json_atomic(
+            os.path.join(self.state_dir, "_lineage",
+                         f"{component}__{from_id}_{to_id}.json"),
+            {"component": component, "source_from_id": from_id,
+             "source_to_id": to_id, "input_rows": in_rows,
+             "input_bytes": in_bytes, "output_rows": out_rows,
+             "output_bytes": out_bytes, "reused_files": reused_files,
+             "rewritten_files": rewritten_files,
+             "committed_at": int(time.time())},
+        )
+
+    def lineage_rows(self) -> list[dict]:
+        d = os.path.join(self.state_dir, "_lineage")
+        return [json.load(open(os.path.join(d, f))) for f in sorted(os.listdir(d))]
+
+    # ---------------- increment plumbing ----------------
+
+    def _added_stats(self, from_id: int, to_id: int) -> tuple[int, int, int | None, int | None]:
+        """(rows, bytes, min_ts, max_ts) of files added in (from, to] — pure
+        manifest arithmetic, no data read."""
+        rows = byts = 0
+        lo = hi = None
+        for sid in range(from_id + 1, to_id + 1):
+            man = self.source.snapshot(sid)
+            added = set(man["added"])
+            for f in man["files"]:
+                if f["path"] in added:
+                    rows += f["rows"]
+                    byts += f["bytes"]
+                    if f["min_ts"] is not None:
+                        lo = f["min_ts"] if lo is None else min(lo, f["min_ts"])
+                    if f["max_ts"] is not None:
+                        hi = f["max_ts"] if hi is None else max(hi, f["max_ts"])
+        return rows, byts, lo, hi
+
+    def _increment_with_latency(self, spark: SparkSession, from_id: int,
+                                to_id: int) -> DataFrame:
+        """Increment turns with the latency plane, continuous across the
+        snapshot boundary via conv-state anchor rows."""
+        inc = self.source.incremental(spark, from_id, to_id)
+        inc = inc.select("conv_id", "turn_idx", "role", "tool", "ts")
+        if self.convstate.current_snapshot_id() is None:
+            return R.with_latency(inc).withColumn("_anchor", F.lit(False))
+        state = self.convstate.read(spark)
+        anchors = (
+            state.join(inc.select("conv_id").distinct(), "conv_id")
+            .select(
+                "conv_id",
+                F.col("last_turn_idx").alias("turn_idx"),
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("tool"),
+                F.timestamp_seconds("last_epoch").alias("ts"),
+                F.lit(True).alias("_anchor"),
+            )
+        )
+        u = inc.withColumn("_anchor", F.lit(False)).unionByName(anchors)
+        return R.with_latency(u)
+
+    # ---------------- refresh ----------------
+
+    def _advance_component(self, spark: SparkSession, component: str,
+                           from_id: int, to_id: int,
+                           lat: DataFrame | None = None) -> None:
+        in_rows, in_bytes, min_ts, max_ts = self._added_stats(from_id, to_id)
+        if lat is None:
+            lat = self._increment_with_latency(spark, from_id, to_id)
+        props = {_SRC_PROP: to_id}
+
+        if component == "convstate":
+            inc = lat.filter(~F.col("_anchor"))
+            upd = inc.groupBy("conv_id").agg(
+                F.max("turn_idx").alias("last_turn_idx"),
+                F.max_by("epoch", "turn_idx").alias("last_epoch"),
+            )
+            if self.convstate.current_snapshot_id() is None:
+                sid = self.convstate.append(upd, properties=props)
+            else:
+                prev = self.convstate.read(spark)
+                merged = (
+                    prev.unionByName(upd)
+                    .groupBy("conv_id")
+                    .agg(F.max("last_turn_idx").alias("last_turn_idx"),
+                         F.max_by("last_epoch", "last_turn_idx").alias("last_epoch"))
+                )
+                sid = self.convstate.overwrite(merged, properties=props)
+            man = self.convstate.snapshot(sid)
+            self._lineage(component, from_id, to_id, in_rows, in_bytes,
+                          man["added_rows"], man["added_bytes"],
+                          reused_files=0, rewritten_files=len(man["added"]))
+            return
+
+        # tier component: rollup the increment down the chain, then fold
+        # into the touched slice only
+        turns = lat.filter(~F.col("_anchor"))
+        inc_tier = R.rollup_raw_to_tier(
+            turns, "1m", role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
+        )
+        for t in R.TIER_ORDER[1:R.TIER_ORDER.index(component) + 1]:
+            inc_tier = R.reaggregate(
+                inc_tier, t, role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
+            )
+
+        tbl = self.tiers[component]
+        if tbl.current_snapshot_id() is None:
+            sid = tbl.append(inc_tier, properties=props)
+            reused = overlap = []
+        else:
+            width = R.TIERS[component]
+            # touched bucket range, action-free from source manifest stats;
+            # missing stats (never for spark-written micros) -> full merge
+            if min_ts is None or max_ts is None:
+                lo_b, hi_b = None, None
+            else:
+                lo_b = width * (min_ts // width)
+                hi_b = width * (max_ts // width)
+            cur = tbl.snapshot(tbl.current_snapshot_id())
+            overlap, reused = [], []
+            for f in cur["files"]:
+                misses = (
+                    lo_b is not None
+                    and f["min_ts"] is not None and f["max_ts"] is not None
+                    and (f["max_ts"] < lo_b or f["min_ts"] > hi_b)
+                )
+                (reused if misses else overlap).append(f["path"])
+            slice_df = tbl._read_files(
+                spark, [os.path.join(tbl.path, p) for p in overlap], cur["schema"]
+            )
+            merged = R.merge_tier(slice_df, inc_tier)
+            sid = tbl.replace_files(merged, overlap, properties=props)
+        man = tbl.snapshot(sid)
+        self._lineage(component, from_id, to_id, in_rows, in_bytes,
+                      man["added_rows"], man["added_bytes"],
+                      reused_files=len(reused), rewritten_files=len(man["added"]))
+
+    def refresh(self, spark: SparkSession,
+                fail_after: int | None = None) -> dict[str, int]:
+        """Bring every component up to the source head.  Safe to re-run after
+        a kill at any point; completed component commits are never repeated.
+
+        fail_after=n raises InjectedFailure after n component commits
+        (kill-resume tests).  Returns final component positions."""
+        head = self.source.current_snapshot_id()
+        if head is None:
+            return self.positions()
+        commits = 0
+        while True:
+            pos = self.positions()
+            mn, mx = min(pos.values()), max(pos.values())
+            if mn >= head:
+                return pos
+            # reconcile laggards to the furthest component first (conv state
+            # is at the laggard position by commit order), then to head
+            target = mx if mx > mn else head
+            # the increment's latency plane is shared by every component
+            # advancing over the same (from, target) — compute once
+            memo: dict[int, DataFrame] = {}
+            for c in COMPONENTS:
+                if pos[c] < target:
+                    if pos[c] not in memo:
+                        memo[pos[c]] = self._increment_with_latency(
+                            spark, pos[c], target
+                        ).persist()
+                    self._advance_component(spark, c, pos[c], target,
+                                            lat=memo[pos[c]])
+                    commits += 1
+                    if fail_after is not None and commits >= fail_after:
+                        for df in memo.values():
+                            df.unpersist()
+                        raise InjectedFailure(
+                            f"injected failure after {commits} component commits"
+                        )
+            for df in memo.values():
+                df.unpersist()
+
+    # ---------------- reads & retention ----------------
+
+    def read_tier(self, spark: SparkSession, tier: str,
+                  lo: int | None = None, hi: int | None = None) -> DataFrame:
+        """Materialized tier rows; lo/hi (epoch seconds on the bucket) prune
+        files manifest-side before the residual filter."""
+        return self.tiers[tier].read(spark, lo=lo, hi=hi)
+
+    def apply_retention(self, policy: dict[str, int], now_epoch: int,
+                        keep_snapshots: int = 2) -> dict[str, int | None]:
+        """Expire data older than ``policy[tier]`` seconds per tier (and
+        ``policy['raw']`` for the source table) via manifest-only truncation,
+        then expire all but ``keep_snapshots`` table snapshots so the dropped
+        files are physically deleted.  Carries each table's source position
+        property through the truncation commit."""
+        out: dict[str, int | None] = {}
+        for name, max_age in policy.items():
+            tbl = self.source if name == "raw" else self.tiers[name]
+            props = None if name == "raw" else {_SRC_PROP: self._position(name)}
+            out[name] = tbl.truncate_before(now_epoch - max_age, properties=props)
+            tbl.expire_snapshots(keep_last=keep_snapshots)
+        return out

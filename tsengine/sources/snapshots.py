@@ -178,18 +178,27 @@ class SnapshotTable:
                     continue
                 full = os.path.join(root, fname)
                 st = _file_stats(full, self.ts_col)
+                if st["rows"] == 0:
+                    # empty part files carry no stats, so they would defeat
+                    # manifest pruning (and slice-local refresh) forever
+                    os.remove(full)
+                    continue
                 st["path"] = os.path.relpath(full, self.path)
                 entries.append(st)
         return entries, df.schema.json()
 
     def _commit(self, op: str, new_files: list[dict], schema_json: str,
-                expected_parent: int | None) -> int:
+                expected_parent: int | None,
+                removed_paths: set[str] | None = None,
+                properties: dict | None = None) -> int:
         cur = self.current_snapshot_id()
         if cur != expected_parent:
             raise CommitConflict(
                 f"current snapshot is {cur}, expected {expected_parent}"
             )
         base = [] if (op == "overwrite" or cur is None) else self.snapshot(cur)["files"]
+        if removed_paths:
+            base = [f for f in base if f["path"] not in removed_paths]
         sid = (cur or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -197,8 +206,10 @@ class SnapshotTable:
             "operation": op,
             "committed_at": time.time(),
             "schema": schema_json,
+            "properties": properties or {},
             "files": base + new_files,
             "added": [f["path"] for f in new_files],
+            "removed": sorted(removed_paths) if removed_paths else [],
             "added_rows": sum(f["rows"] for f in new_files),
             "added_bytes": sum(f["bytes"] for f in new_files),
         }
@@ -213,18 +224,59 @@ class SnapshotTable:
                            {"snapshot_id": sid})
         return sid
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
         """Append ``df`` as a new snapshot; returns the new snapshot id."""
         parent = self.current_snapshot_id()
         files, schema = self._write_data(df)
-        return self._commit("append", files, schema, parent)
+        return self._commit("append", files, schema, parent, properties=properties)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
         """Replace table contents as a new snapshot (old snapshots remain
         time-travel readable until expired)."""
         parent = self.current_snapshot_id()
         files, schema = self._write_data(df)
-        return self._commit("overwrite", files, schema, parent)
+        return self._commit("overwrite", files, schema, parent, properties=properties)
+
+    def replace_files(self, df: DataFrame | None, drop_paths: list[str],
+                      properties: dict | None = None) -> int:
+        """Partial-overwrite commit (Iceberg's overwrite-with-deletes): the
+        new snapshot keeps every current file NOT in ``drop_paths``, plus the
+        files of ``df`` (None = pure delete).  This is what makes incremental
+        tier refresh and retention O(touched slice), not O(table): untouched
+        data files are carried into the new manifest by reference, never
+        rewritten.  ``drop_paths`` are table-relative paths as listed in the
+        manifest."""
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise ValueError("replace_files on an empty table")
+        if df is not None:
+            files, schema = self._write_data(df)
+        else:
+            files, schema = [], self.snapshot(parent)["schema"]
+        return self._commit("replace", files, schema, parent,
+                            removed_paths=set(drop_paths), properties=properties)
+
+    def truncate_before(self, cutoff: int, properties: dict | None = None) -> int | None:
+        """Retention: drop every data file whose max ``ts_col`` stat is below
+        ``cutoff`` (epoch seconds) — a manifest-only commit, no data read or
+        rewrite.  File-granularity by design: a file straddling the cutoff is
+        kept whole (documented retention semantics; writers that partition by
+        time make the boundary exact).  Returns the new snapshot id, or None
+        when nothing is expired."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        drop = [f["path"] for f in self.snapshot(cur)["files"]
+                if f["max_ts"] is not None and f["max_ts"] < cutoff]
+        if not drop:
+            return None
+        return self.replace_files(None, drop, properties=properties)
+
+    def properties(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return {}
+        return self.snapshot(sid).get("properties", {})
 
     # ---- reads ----
 
@@ -274,9 +326,12 @@ class SnapshotTable:
         schema_json = self.snapshot(to_id)["schema"]
         for sid in range(from_id + 1, to_id + 1):
             man = self.snapshot(sid)
-            if man["operation"] != "append":
+            # pure-delete commits (retention truncation) add no rows, so the
+            # append-diff stays valid across them — already-materialized
+            # aggregates outlive the raw files they came from
+            if man["operation"] != "append" and man["added"]:
                 raise ValueError(
-                    f"snapshot {sid} is {man['operation']!r}, not append — "
+                    f"snapshot {sid} is {man['operation']!r} with added files — "
                     "incremental diff invalid across it"
                 )
             files.extend(os.path.join(self.path, p) for p in man["added"])
