@@ -32,18 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
     training-data pipeline ops (dedup / text / similarity / multimodal)."""
-    from tsengine.plans import driver_queries, driver_queries_data
+    from tsengine.plans import (
+        driver_queries,
+        driver_queries_data,
+        driver_queries_snapshots,
+    )
 
     out = dict(driver_queries.QUERIES)
     out.update(driver_queries_data.QUERIES)
+    out.update(driver_queries_snapshots.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI equivalents for each queries() entry (keys missing here
     get the driver's weaker rows-only check)."""
-    from tsengine.plans import driver_queries, driver_queries_data
+    from tsengine.plans import (
+        driver_queries,
+        driver_queries_data,
+        driver_queries_snapshots,
+    )
 
     out = dict(driver_queries.ORACLE)
     out.update(driver_queries_data.ORACLE)
+    out.update(driver_queries_snapshots.ORACLE)
     return out

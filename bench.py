@@ -206,6 +206,50 @@ def main():
         for name in ("1m", "1h", "1d")
     }
 
+    # ---- incremental maintenance (north metric: continuous aggregates) ----
+    # Setup (untimed): materialize tiers over the first ~90% of turns (ts
+    # cutoff; per-conv ts is monotone in turn_idx so the split is a clean
+    # per-conversation suffix).  Timed: append the last ~10% and refresh —
+    # the cost that matters at 10^12 turns, where a day's append must fold
+    # in O(increment + touched slice), never O(history).
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from tsengine.materialize import MaterializedTiers
+    from tsengine.sources.snapshots import SnapshotTable
+
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    mroot = f"/tmp/tsengine_bench_mat_{_uuid.uuid4().hex[:8]}"
+    src = SnapshotTable(os.path.join(mroot, "source"), ts_col="ts")
+    mat = MaterializedTiers(
+        src, os.path.join(mroot, "tiers"),
+        role_vocab=role_vocab, tool_vocab=tool_vocab,
+    )
+    cut = int(
+        raw.selectExpr(
+            "percentile_approx(cast(ts as long), 0.9) as c"
+        ).first()["c"]
+    )
+    epoch = F.col("ts").cast("long")
+    src.append(raw.filter(epoch < cut).coalesce(16))
+    mat.refresh(spark)
+    inc_df = raw.filter(epoch >= cut).coalesce(16)
+    inc_rows = inc_df.count()
+    src.append(inc_df)
+    t0 = time.perf_counter()
+    mat.refresh(spark)
+    refresh_sec = time.perf_counter() - t0
+    # file-fold economics of the timed refresh, from its own lineage
+    reused = rewritten = 0
+    for rec in mat.lineage_rows():
+        if rec["source_from_id"] == 1 and rec["component"] in ("1m", "1h", "1d"):
+            reused += rec["reused_files"]
+            rewritten += rec["rewritten_files"]
+    shutil.rmtree(mroot, ignore_errors=True)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
     # ---- tier-exact match rate (north metric): engine tiers vs the pure-
     # python reference oracle on a deterministic conversation sample ----
     tier_match = _tier_match_rate(spark, raw, role_vocab, tool_vocab)
@@ -240,6 +284,11 @@ def main():
         "tier_points_per_sec_by_tier": tier_pps,
         "tier_rows": tier_rows,
         "tier_exact_match_rate": tier_match,
+        "incremental_refresh_sec": round(refresh_sec, 3),
+        "incremental_refresh_pts_per_sec": round(inc_rows / refresh_sec, 1),
+        "incremental_refresh_rows": inc_rows,
+        "incremental_tier_files_reused": reused,
+        "incremental_tier_files_rewritten": rewritten,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

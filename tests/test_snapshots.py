@@ -199,3 +199,62 @@ def test_merge_tier_overlapping_buckets(spark):
     assert dict(m[600]["role_dist"]) == {"user": 3, "assistant": 2}
     assert dict(m[600]["tool_dist"]) == {"bash": 1}
     assert m[660]["cnt"] == 1 and m[660]["vmin"] is None
+
+
+def test_conv_stat_pruning(spark, tmp_path):
+    """stat_cols=("conv_id",): manifest tracks per-file conv min/max, and a
+    conv-range read plans ONLY the files whose range intersects — the north
+    rule's conv_id-range partition pruning at the manifest level."""
+    t = SnapshotTable(str(tmp_path / "tbl"), stat_cols=("conv_id",))
+    t.append(_turns(spark, ["conv_a1", "conv_a2"]))
+    t.append(_turns(spark, ["conv_m1", "conv_m2"]))
+    t.append(_turns(spark, ["conv_z1", "conv_z2"]))
+    man = t.snapshot(t.current_snapshot_id())
+    assert all("stats" in f and "conv_id" in f["stats"] for f in man["files"])
+
+    planned = t._plan_files(man, None, None, where={"conv_id": ("conv_m", "conv_mzz")})
+    all_files = t._plan_files(man, None, None)
+    assert 0 < len(planned) < len(all_files)
+    # every m-file kept, no a/z-only file kept
+    for p in planned:
+        st = next(f["stats"]["conv_id"] for f in man["files"]
+                  if p.endswith(f["path"]))
+        assert st[1] >= "conv_m" and st[0] <= "conv_mzz"
+
+    got = t.read(spark, where={"conv_id": ("conv_m", "conv_mzz")})
+    exp = _turns(spark, ["conv_m1", "conv_m2"])
+    assert _rows(got) == _rows(exp)
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """Five tiny same-day appends + one distant-day append: compact must
+    rewrite the five into fewer day-aligned files in one commit, keep the
+    distant file by reference, and change no rows.  Incremental reads from
+    before the compaction must be rejected (replace commit in range)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(5):
+        t.append(_turns(spark, [f"c{i}"], n=8).coalesce(1))
+    t.append(_turns(spark, ["far"], t0=1_600_000_000 + 40 * 86400, n=8).coalesce(1))
+    before = t.read(spark)
+    rows_before = _rows(before)
+    man0 = t.snapshot(t.current_snapshot_id())
+    far_paths = {f["path"] for f in man0["files"]
+                 if f["min_ts"] >= 1_600_000_000 + 40 * 86400}
+    assert len(man0["files"]) == 6 and len(far_paths) == 1
+
+    sid = t.compact(spark, target_bytes=1 << 20)
+    assert sid == 7
+    man1 = t.snapshot(sid)
+    # far file carried by reference; small same-day files merged
+    assert far_paths <= {f["path"] for f in man1["files"]}
+    assert len(man1["files"]) < len(man0["files"])
+    # rows unchanged, day alignment preserved (every new file spans one day)
+    assert _rows(t.read(spark)) == rows_before
+    for f in man1["files"]:
+        assert f["min_ts"] // 86400 == f["max_ts"] // 86400
+    # append-diff across a replace commit must refuse
+    t.append(_turns(spark, ["post"], t0=1_600_000_000 + 50 * 86400, n=8).coalesce(1))
+    with pytest.raises(ValueError, match="incremental diff invalid"):
+        t.incremental(spark, 5, 8)
+    # nothing left to compact
+    assert t.compact(spark, target_bytes=1 << 20) is None

@@ -66,6 +66,30 @@ class InjectedFailure(RuntimeError):
     """Raised by the fail_after test hook to simulate a mid-refresh kill."""
 
 
+def _ranged(df: DataFrame) -> DataFrame:
+    """Range-partition tier rows on the bucket's UTC DAY before writing, so
+    every data file holds only whole days (the Iceberg analogue: a day()
+    partition spec on the tier table).
+
+    - Day alone as the range key: equal keys always land in one partition,
+      so no file ever straddles a day boundary — which makes day-cutoff
+      retention (truncate_before) exact and keeps per-file [min_ts, max_ts]
+      narrow for manifest pruning / slice reuse.  A secondary key (e.g.
+      conv_id) would let a sampled partition boundary fall mid-day and
+      reintroduce straddling files.
+    - The partition count (spark.sql.shuffle.partitions) is passed
+      EXPLICITLY: a count-less repartitionByRange is an AQE-coalescible
+      shuffle, and coalescing would merge the ranges back into full-span
+      files.  REPARTITION_BY_NUM shuffles are exempt.
+    - At 100 TB a single day of 1m buckets outgrows one task's file; cap
+      file size with spark.sql.files.maxRecordsPerFile — the writer splits
+      a partition into several files that each still hold only that
+      partition's days."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    day = F.floor(F.col("bucket") / F.lit(86400))
+    return df.repartitionByRange(n, day)
+
+
 def _write_json_atomic(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -201,7 +225,14 @@ class MaterializedTiers:
             return
 
         # tier component: rollup the increment down the chain, then fold
-        # into the touched slice only
+        # into the touched slice only.  Tier data files are written
+        # RANGE-partitioned on bucket: a hash-partitioned write would give
+        # every file the table's full [min_ts, max_ts] span, so the next
+        # refresh's touched-bucket range would overlap every file and the
+        # whole tier would be rewritten — O(history), the thing this class
+        # exists to avoid.  Narrow per-file bucket ranges are what make
+        # slice reuse and file-granular retention real (the Iceberg
+        # analogue: a time-based sort order on the tier table's writes).
         turns = lat.filter(~F.col("_anchor"))
         inc_tier = R.rollup_raw_to_tier(
             turns, "1m", role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
@@ -213,7 +244,7 @@ class MaterializedTiers:
 
         tbl = self.tiers[component]
         if tbl.current_snapshot_id() is None:
-            sid = tbl.append(inc_tier, properties=props)
+            sid = tbl.append(_ranged(inc_tier), properties=props)
             reused = overlap = []
         else:
             width = R.TIERS[component]
@@ -237,7 +268,7 @@ class MaterializedTiers:
                 spark, [os.path.join(tbl.path, p) for p in overlap], cur["schema"]
             )
             merged = R.merge_tier(slice_df, inc_tier)
-            sid = tbl.replace_files(merged, overlap, properties=props)
+            sid = tbl.replace_files(_ranged(merged), overlap, properties=props)
         man = tbl.snapshot(sid)
         self._lineage(component, from_id, to_id, in_rows, in_bytes,
                       man["added_rows"], man["added_bytes"],

@@ -59,42 +59,64 @@ def _write_json_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _file_stats(path: str, ts_col: str | None) -> dict:
-    """Rows + min/max of ``ts_col`` from the parquet footer (pyarrow) —
-    planning stats without reading data pages.  Timestamps are normalized to
-    epoch seconds; a missing/statless column yields None bounds (file never
-    pruned)."""
+def _norm_stat(v, as_epoch: bool):
+    """Normalize a parquet footer stat value for the manifest: timestamps ->
+    epoch seconds, bytes -> utf-8 str, everything else as-is (JSON-able)."""
+    if as_epoch:
+        return int(v.timestamp()) if hasattr(v, "timestamp") else int(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "timestamp"):
+        return int(v.timestamp())
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+def _col_bounds(pf, meta, col_name: str, as_epoch: bool) -> tuple:
+    """(min, max) of a column across row groups from the parquet footer, or
+    (None, None) when the column is missing or any row group lacks stats.
+    Caveat: parquet writers may truncate long binary stats; conv ids and the
+    other stat columns used here are short enough to stay exact."""
+    try:
+        idx = pf.schema_arrow.get_field_index(col_name)
+    except (KeyError, ValueError):
+        return None, None
+    if idx < 0:
+        return None, None
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None  # incomplete stats -> no bounds, never pruned
+        mn = _norm_stat(st.min, as_epoch)
+        mx = _norm_stat(st.max, as_epoch)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
+
+
+def _file_stats(path: str, ts_col: str | None,
+                stat_cols: tuple = ()) -> dict:
+    """Rows + min/max of ``ts_col`` (normalized to epoch seconds) and of each
+    extra ``stat_cols`` column from the parquet footer (pyarrow) — planning
+    stats without reading data pages.  A missing/statless column yields None
+    bounds (file never pruned on it)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     meta = pf.metadata
     out = {"path": None, "rows": meta.num_rows, "bytes": os.path.getsize(path),
            "min_ts": None, "max_ts": None}
-    if ts_col is None:
-        return out
-    try:
-        idx = pf.schema_arrow.get_field_index(ts_col)
-    except (KeyError, ValueError):
-        return out
-    if idx < 0:
-        return out
-    lo = hi = None
-    for rg in range(meta.num_row_groups):
-        col = meta.row_group(rg).column(idx)
-        st = col.statistics
-        if st is None or not st.has_min_max:
-            return out  # incomplete stats -> no bounds, file always read
-        mn, mx = st.min, st.max
-        for v, is_min in ((mn, True), (mx, False)):
-            if hasattr(v, "timestamp"):
-                e = int(v.timestamp())
-            else:
-                e = int(v)
-            if is_min:
-                lo = e if lo is None else min(lo, e)
-            else:
-                hi = e if hi is None else max(hi, e)
-    out["min_ts"], out["max_ts"] = lo, hi
+    if ts_col is not None:
+        out["min_ts"], out["max_ts"] = _col_bounds(pf, meta, ts_col, as_epoch=True)
+    stats = {}
+    for c in stat_cols:
+        lo, hi = _col_bounds(pf, meta, c, as_epoch=False)
+        if lo is not None:
+            stats[c] = [lo, hi]
+    if stats:
+        out["stats"] = stats
     return out
 
 
@@ -108,9 +130,14 @@ class SnapshotTable:
         <path>/metadata/current.json      atomic pointer {"snapshot_id": n}
     """
 
-    def __init__(self, path: str, ts_col: str | None = "ts"):
+    def __init__(self, path: str, ts_col: str | None = "ts",
+                 stat_cols: tuple = ()):
         self.path = path
         self.ts_col = ts_col
+        # extra per-file min/max manifest stats (e.g. ("conv_id",)): enables
+        # manifest-level conv-range pruning when writes cluster by that
+        # column (sortWithinPartitions / repartitionByRange before append)
+        self.stat_cols = tuple(stat_cols)
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
 
@@ -177,7 +204,7 @@ class SnapshotTable:
                 if not fname.endswith(".parquet"):
                     continue
                 full = os.path.join(root, fname)
-                st = _file_stats(full, self.ts_col)
+                st = _file_stats(full, self.ts_col, self.stat_cols)
                 if st["rows"] == 0:
                     # empty part files carry no stats, so they would defeat
                     # manifest pruning (and slice-local refresh) forever
@@ -280,14 +307,30 @@ class SnapshotTable:
 
     # ---- reads ----
 
-    def _plan_files(self, manifest: dict, lo: int | None, hi: int | None) -> list[str]:
-        """Manifest-level file pruning on the ts stats (Iceberg-style scan
-        planning: skip any file whose [min_ts, max_ts] misses [lo, hi])."""
+    def _plan_files(self, manifest: dict, lo: int | None, hi: int | None,
+                    where: dict | None = None) -> list[str]:
+        """Manifest-level file pruning: skip any file whose ts stats miss
+        [lo, hi] or whose per-column [min, max] stats (``stats`` entry) miss
+        a ``where`` range {col: (lo, hi)} — Iceberg-style scan planning,
+        including conv_id-range pruning when the table tracks conv stats."""
         keep = []
         for f in manifest["files"]:
             if lo is not None and f["max_ts"] is not None and f["max_ts"] < lo:
                 continue
             if hi is not None and f["min_ts"] is not None and f["min_ts"] > hi:
+                continue
+            miss = False
+            for col, (wlo, whi) in (where or {}).items():
+                b = f.get("stats", {}).get(col)
+                if b is None:
+                    continue  # no stats -> cannot prune on this column
+                if wlo is not None and b[1] < wlo:
+                    miss = True
+                    break
+                if whi is not None and b[0] > whi:
+                    miss = True
+                    break
+            if miss:
                 continue
             keep.append(os.path.join(self.path, f["path"]))
         return keep
@@ -299,19 +342,28 @@ class SnapshotTable:
         return spark.read.schema(schema).parquet(*files)
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
-             lo: int | None = None, hi: int | None = None) -> DataFrame:
+             lo: int | None = None, hi: int | None = None,
+             where: dict | None = None) -> DataFrame:
         """Read a snapshot (default: current).  ``lo``/``hi`` (epoch seconds,
-        inclusive) prune files manifest-side AND apply the residual ts filter
-        in Spark for exactness."""
+        inclusive) and ``where`` ({col: (lo, hi)} inclusive ranges over
+        ``stat_cols`` columns, e.g. {"conv_id": ("conv_000a", "conv_000z")})
+        prune files manifest-side AND apply residual filters in Spark for
+        row-level exactness."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"empty table (no committed snapshot) at {self.path}")
         man = self.snapshot(sid)
-        df = self._read_files(spark, self._plan_files(man, lo, hi), man["schema"])
+        df = self._read_files(spark, self._plan_files(man, lo, hi, where),
+                              man["schema"])
         if self.ts_col and lo is not None:
             df = df.filter(F.col(self.ts_col).cast("long") >= int(lo))
         if self.ts_col and hi is not None:
             df = df.filter(F.col(self.ts_col).cast("long") <= int(hi))
+        for col, (wlo, whi) in (where or {}).items():
+            if wlo is not None:
+                df = df.filter(F.col(col) >= wlo)
+            if whi is not None:
+                df = df.filter(F.col(col) <= whi)
         return df
 
     def incremental(self, spark: SparkSession, from_id: int,
@@ -338,6 +390,51 @@ class SnapshotTable:
         return self._read_files(spark, files, schema_json)
 
     # ---- maintenance ----
+
+    def compact(self, spark: SparkSession, target_bytes: int = 128 << 20,
+                properties: dict | None = None) -> int | None:
+        """Bin-pack small data files (Iceberg ``rewrite_data_files``
+        analogue): files under ``target_bytes`` are rewritten into
+        day-aligned larger files in ONE replace_files commit; every other
+        file is carried by reference.  Small files accumulate naturally
+        under incremental refresh (one commit per refresh), and each tiny
+        file costs a scan task + a manifest entry at read time.
+
+        Day alignment is preserved (``repartitionByRange`` on the ts day
+        alone — same argument as materialize._ranged), so retention cutoffs
+        at day boundaries stay exact after compaction.  Only days that
+        actually have 2+ small files are rewritten.  Returns the new
+        snapshot id, or None when there is nothing to compact."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        man = self.snapshot(cur)
+        by_day: dict[int, list[dict]] = {}
+        for f in man["files"]:
+            if f["bytes"] >= target_bytes:
+                continue
+            if self.ts_col is not None and f["min_ts"] is None:
+                continue
+            key = 0 if self.ts_col is None else f["min_ts"] // 86400
+            by_day.setdefault(key, []).append(f)
+        picked = [f for fs in by_day.values() if len(fs) >= 2 for f in fs]
+        if not picked:
+            return None
+        total = sum(f["bytes"] for f in picked)
+        nbins = max(1, -(-total // target_bytes),
+                    len({f["min_ts"] // 86400 for f in picked}))
+        df = self._read_files(
+            spark, [os.path.join(self.path, f["path"]) for f in picked],
+            man["schema"],
+        )
+        if self.ts_col is not None:
+            day = F.floor(F.col(self.ts_col).cast("long") / F.lit(86400))
+            df = df.repartitionByRange(int(nbins), day)
+        else:
+            df = df.repartition(int(nbins))
+        return self.replace_files(
+            df, [f["path"] for f in picked], properties=properties,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
