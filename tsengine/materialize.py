@@ -66,7 +66,7 @@ class InjectedFailure(RuntimeError):
     """Raised by the fail_after test hook to simulate a mid-refresh kill."""
 
 
-def _ranged(df: DataFrame) -> DataFrame:
+def _ranged(df: DataFrame, n: int | None = None) -> DataFrame:
     """Range-partition tier rows on the bucket's UTC DAY before writing, so
     every data file holds only whole days (the Iceberg analogue: a day()
     partition spec on the tier table).
@@ -84,10 +84,15 @@ def _ranged(df: DataFrame) -> DataFrame:
     - At 100 TB a single day of 1m buckets outgrows one task's file; cap
       file size with spark.sql.files.maxRecordsPerFile — the writer splits
       a partition into several files that each still hold only that
-      partition's days."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+      partition's days.
+    - ``n`` (when the caller knows the write's day span from manifest
+      stats) caps the partition count: an incremental refresh rewriting a
+      two-day slice should emit ~2 files, not shuffle-partition-count tiny
+      ones."""
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     day = F.floor(F.col("bucket") / F.lit(86400))
-    return df.repartitionByRange(n, day)
+    return df.repartitionByRange(max(1, min(int(n), 1024)), day)
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -195,7 +200,8 @@ class MaterializedTiers:
 
     def _advance_component(self, spark: SparkSession, component: str,
                            from_id: int, to_id: int,
-                           lat: DataFrame | None = None) -> None:
+                           lat: DataFrame | None = None,
+                           inc_1m: DataFrame | None = None) -> None:
         in_rows, in_bytes, min_ts, max_ts = self._added_stats(from_id, to_id)
         if lat is None:
             lat = self._increment_with_latency(spark, from_id, to_id)
@@ -233,18 +239,33 @@ class MaterializedTiers:
         # exists to avoid.  Narrow per-file bucket ranges are what make
         # slice reuse and file-granular retention real (the Iceberg
         # analogue: a time-based sort order on the tier table's writes).
-        turns = lat.filter(~F.col("_anchor"))
-        inc_tier = R.rollup_raw_to_tier(
-            turns, "1m", role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
-        )
+        if inc_1m is not None:
+            # shared per-refresh 1m rollup of the increment (persisted by
+            # refresh()): 1h/1d reaggregate from it instead of re-rolling
+            # the raw increment once per component
+            inc_tier = inc_1m
+        else:
+            turns = lat.filter(~F.col("_anchor"))
+            inc_tier = R.rollup_raw_to_tier(
+                turns, "1m", role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
+            )
         for t in R.TIER_ORDER[1:R.TIER_ORDER.index(component) + 1]:
             inc_tier = R.reaggregate(
                 inc_tier, t, role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
             )
 
         tbl = self.tiers[component]
+        # output partition count sized to the write's actual day span
+        # (action-free, from manifest stats): a refresh rewriting a two-day
+        # slice emits ~2 day-files, not shuffle-partition-count tiny ones
+        def _days(lo, hi):
+            if lo is None or hi is None:
+                return None
+            return int(hi // 86400 - lo // 86400) + 1
+
         if tbl.current_snapshot_id() is None:
-            sid = tbl.append(_ranged(inc_tier), properties=props)
+            sid = tbl.append(_ranged(inc_tier, _days(min_ts, max_ts)),
+                             properties=props)
             reused = overlap = []
         else:
             width = R.TIERS[component]
@@ -257,6 +278,7 @@ class MaterializedTiers:
                 hi_b = width * (max_ts // width)
             cur = tbl.snapshot(tbl.current_snapshot_id())
             overlap, reused = [], []
+            lo_all, hi_all = lo_b, hi_b
             for f in cur["files"]:
                 misses = (
                     lo_b is not None
@@ -264,11 +286,15 @@ class MaterializedTiers:
                     and (f["max_ts"] < lo_b or f["min_ts"] > hi_b)
                 )
                 (reused if misses else overlap).append(f["path"])
+                if not misses and f["min_ts"] is not None:
+                    lo_all = f["min_ts"] if lo_all is None else min(lo_all, f["min_ts"])
+                    hi_all = f["max_ts"] if hi_all is None else max(hi_all, f["max_ts"])
             slice_df = tbl._read_files(
                 spark, [os.path.join(tbl.path, p) for p in overlap], cur["schema"]
             )
             merged = R.merge_tier(slice_df, inc_tier)
-            sid = tbl.replace_files(_ranged(merged), overlap, properties=props)
+            sid = tbl.replace_files(_ranged(merged, _days(lo_all, hi_all)),
+                                    overlap, properties=props)
         man = tbl.snapshot(sid)
         self._lineage(component, from_id, to_id, in_rows, in_bytes,
                       man["added_rows"], man["added_bytes"],
@@ -293,26 +319,38 @@ class MaterializedTiers:
             # reconcile laggards to the furthest component first (conv state
             # is at the laggard position by commit order), then to head
             target = mx if mx > mn else head
-            # the increment's latency plane is shared by every component
-            # advancing over the same (from, target) — compute once
-            memo: dict[int, DataFrame] = {}
+            # the increment's latency plane AND its 1m rollup are shared by
+            # every component advancing over the same (from, target) —
+            # compute once, persist; 1h/1d reaggregate from the cached 1m
+            memo: dict[int, tuple[DataFrame, DataFrame]] = {}
             for c in COMPONENTS:
                 if pos[c] < target:
                     if pos[c] not in memo:
-                        memo[pos[c]] = self._increment_with_latency(
+                        lat = self._increment_with_latency(
                             spark, pos[c], target
                         ).persist()
-                    self._advance_component(spark, c, pos[c], target,
-                                            lat=memo[pos[c]])
+                        t1m = R.rollup_raw_to_tier(
+                            lat.filter(~F.col("_anchor")), "1m",
+                            role_vocab=self.role_vocab,
+                            tool_vocab=self.tool_vocab,
+                        ).persist()
+                        memo[pos[c]] = (lat, t1m)
+                    lat, t1m = memo[pos[c]]
+                    self._advance_component(
+                        spark, c, pos[c], target, lat=lat,
+                        inc_1m=None if c == "convstate" else t1m,
+                    )
                     commits += 1
                     if fail_after is not None and commits >= fail_after:
-                        for df in memo.values():
-                            df.unpersist()
+                        for pair in memo.values():
+                            for df in pair:
+                                df.unpersist()
                         raise InjectedFailure(
                             f"injected failure after {commits} component commits"
                         )
-            for df in memo.values():
-                df.unpersist()
+            for pair in memo.values():
+                for df in pair:
+                    df.unpersist()
 
     # ---------------- reads & retention ----------------
 

@@ -110,6 +110,24 @@ def q_snapshot_retention(spark, sf_dir):
     return _project(_memo[key].read(spark))
 
 
+def q_snapshot_compact(spark, sf_dir):
+    """Compaction invariance: week-1 events land as TWO interleaved appends
+    (event_id parity — same days, so the files are day-overlapping), then
+    compact() bin-packs them into day-aligned files in one replace_files
+    commit.  The read after compaction must still be exactly week 1."""
+    key = ("compact", sf_dir)
+    if key not in _memo:
+        from tsengine.sources.snapshots import SnapshotTable
+
+        ev = _events(spark, sf_dir).filter(F.col("ts") < _CUT1)
+        tbl = SnapshotTable(tempfile.mkdtemp(prefix="tseng_cmp_"), ts_col="ts")
+        tbl.append(ev.filter(F.col("event_id") % 2 == 0).coalesce(1))
+        tbl.append(ev.filter(F.col("event_id") % 2 == 1).coalesce(1))
+        assert tbl.compact(spark, target_bytes=128 << 20) is not None
+        _memo[key] = tbl
+    return _project(_memo[key].read(spark))
+
+
 def _transcripts(spark, sf_dir):
     """The events-derived transcript frame (same mapping as
     q_transcript_rollup_1m: conv=user, turns ordered by (ts, event_id))."""
@@ -173,6 +191,42 @@ def q_materialized_tier_1h(spark, sf_dir):
     )
 
 
+def q_materialized_1d_retention(spark, sf_dir):
+    """Downsample-retention contract: after the materialized build (shares
+    q_materialized_tier_1h's table), expire raw turns and 1m buckets older
+    than Jan 15 — manifest-only truncation — and read the FULL 1d tier.  The
+    coarse tier must still cover the expired window bit-for-bit (oracle:
+    full-table 1d rollup), proving the aggregates outlive the raw data that
+    produced them."""
+    from tsengine.plans.driver_queries_data import ROLE_VOCAB, TOOL_VOCAB
+
+    q_materialized_tier_1h(spark, sf_dir)  # ensure the shared build exists
+    mat = _memo[("mat1h", sf_dir)]
+    key = ("mat1d_ret", sf_dir)
+    if key not in _memo:
+        # now = Feb 1; raw keeps 17 days (cutoff Jan 15), 1m likewise, the
+        # coarser tiers keep everything
+        now = 1706745600  # 2024-02-01 00:00:00 UTC
+        cut_age = now - _CUT2_EPOCH
+        mat.apply_retention({"raw": cut_age, "1m": cut_age}, now_epoch=now)
+        _memo[key] = True
+    out = mat.read_tier(spark, "1d")
+    dist = [
+        F.coalesce(F.element_at(F.col("role_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"r_{v}")
+        for v in ROLE_VOCAB
+    ] + [
+        F.coalesce(F.element_at(F.col("tool_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"t_{v}")
+        for v in TOOL_VOCAB
+    ]
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+        *dist,
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _EVT_SQL = "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events"
@@ -181,10 +235,11 @@ ORACLE = {
     "q_snapshot_time_travel": f"{_EVT_SQL} WHERE ts < TIMESTAMP '{_CUT2}'",
     "q_snapshot_incremental": f"{_EVT_SQL} WHERE ts >= TIMESTAMP '{_CUT2}'",
     "q_snapshot_retention": f"{_EVT_SQL} WHERE ts >= TIMESTAMP '{_CUT2}'",
+    "q_snapshot_compact": f"{_EVT_SQL} WHERE ts < TIMESTAMP '{_CUT1}'",
 }
 
 
-def _mat_1h_sql() -> str:
+def _mat_sql(width: int) -> str:
     from tsengine.plans.driver_queries_data import ROLE_VOCAB, TOOL_VOCAB
 
     role = ", ".join(
@@ -208,7 +263,7 @@ l AS (
          CAST(epoch - lag(epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
               AS DOUBLE) AS value
   FROM t)
-SELECT conv_id, 3600*(epoch//3600) AS bucket,
+SELECT conv_id, {width}*(epoch//{width}) AS bucket,
        count(*) AS cnt, count(value) AS cnt_lat,
        coalesce(round(min(value), 6), 0.0) AS vmin,
        coalesce(round(max(value), 6), 0.0) AS vmax,
@@ -217,14 +272,17 @@ SELECT conv_id, 3600*(epoch//3600) AS bucket,
        {role},
        {tool}
 FROM l GROUP BY 1, 2
-"""
+""".replace("{width}", str(width))
 
 
-ORACLE["q_materialized_tier_1h"] = _mat_1h_sql()
+ORACLE["q_materialized_tier_1h"] = _mat_sql(3600)
+ORACLE["q_materialized_1d_retention"] = _mat_sql(86400)
 
 QUERIES = {
     "q_snapshot_time_travel": q_snapshot_time_travel,
     "q_snapshot_incremental": q_snapshot_incremental,
     "q_snapshot_retention": q_snapshot_retention,
     "q_materialized_tier_1h": q_materialized_tier_1h,
+    "q_snapshot_compact": q_snapshot_compact,
+    "q_materialized_1d_retention": q_materialized_1d_retention,
 }

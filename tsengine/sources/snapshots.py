@@ -355,10 +355,13 @@ class SnapshotTable:
         man = self.snapshot(sid)
         df = self._read_files(spark, self._plan_files(man, lo, hi, where),
                               man["schema"])
+        # double cast: TIMESTAMP_NTZ has no direct long cast (long/timestamp
+        # columns pass through the first cast unchanged)
+        ep = F.col(self.ts_col).cast("timestamp").cast("long") if self.ts_col else None
         if self.ts_col and lo is not None:
-            df = df.filter(F.col(self.ts_col).cast("long") >= int(lo))
+            df = df.filter(ep >= int(lo))
         if self.ts_col and hi is not None:
-            df = df.filter(F.col(self.ts_col).cast("long") <= int(hi))
+            df = df.filter(ep <= int(hi))
         for col, (wlo, whi) in (where or {}).items():
             if wlo is not None:
                 df = df.filter(F.col(col) >= wlo)
@@ -428,7 +431,9 @@ class SnapshotTable:
             man["schema"],
         )
         if self.ts_col is not None:
-            day = F.floor(F.col(self.ts_col).cast("long") / F.lit(86400))
+            # double cast: TIMESTAMP_NTZ has no direct long cast
+            epoch = F.col(self.ts_col).cast("timestamp").cast("long")
+            day = F.floor(epoch / F.lit(86400))
             df = df.repartitionByRange(int(nbins), day)
         else:
             df = df.repartition(int(nbins))
