@@ -188,3 +188,87 @@ def test_stateful_latency_stream_matches_batch(spark, tmp_path):
         assert g["vmin"] == e["vmin"] and g["vmax"] == e["vmax"], cid
         assert abs(g["vsum"] - e["vsum"]) < 1e-9, cid
         assert g["late_dropped"] == 0
+
+
+def test_stream_ingest_to_snapshot_exactly_once(spark, tmp_path):
+    """foreachBatch -> SnapshotTable ingestion: one snapshot per micro-batch
+    with stream_batch_id in properties, tiers maintained incrementally with
+    cross-batch latency continuity, restart processes only new files, and a
+    replayed delivery (fresh checkpoint over the same files) commits
+    NOTHING — the snapshot commit is the idempotence boundary."""
+    import pandas as pd
+
+    from tsengine.materialize import MaterializedTiers
+    from tsengine.operators import rollup as R
+    from tsengine.sources.snapshots import SnapshotTable
+    from tsengine.streaming import continuous as S
+
+    t0 = 1_700_000_000
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+
+    def batch_pdf(lo, hi):
+        rows = []
+        for c in ("a", "b"):
+            off = hash(c) % 50
+            for i in range(lo, hi):
+                rows.append((c, i, "user" if i % 2 else "assistant",
+                             f"t{c}{i}", None,
+                             pd.Timestamp(t0 + off + i * 40, unit="s", tz="UTC")))
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # not null-typed parquet
+        return pdf
+
+    def write_batch(n, lo, hi):
+        p = src_dir / f"b{n}.parquet"
+        # micros, not pandas-default nanos: Spark's vectorized reader maps
+        # INT64 timestamp(NANOS) to long, which breaks the declared schema
+        batch_pdf(lo, hi).to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (1_000_000 + n, 1_000_000 + n))  # enforce source order
+
+    for n, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        write_batch(n, lo, hi)
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"), ts_col="ts")
+    mat = MaterializedTiers(tbl, str(tmp_path / "tiers"))
+    ckpt = str(tmp_path / "ckpt")
+    S.stream_ingest_to_snapshot(spark, str(src_dir), tbl, ckpt,
+                                mat=mat, max_files_per_trigger=1)
+
+    assert tbl.current_snapshot_id() == 3
+    assert [s["properties"]["stream_batch_id"] for s in tbl.snapshots()] == [0, 1, 2]
+    assert tbl.read(spark).count() == 60
+
+    def tier_numeric(df):
+        return sorted(
+            (r["conv_id"], r["bucket"], r["cnt"], r["cnt_lat"],
+             r["vmin"], r["vmax"], r["vsum"])
+            for r in df.collect()
+        )
+
+    full = spark.createDataFrame(batch_pdf(0, 30))
+    for t in ("1m", "1h"):
+        exp = R.rollup_raw_to_tier(R.with_latency(full), t)
+        assert tier_numeric(mat.read_tier(spark, t)) == tier_numeric(exp), t
+    # cross-batch latency continuity: only the 2 first-turns lack latency
+    agg = mat.read_tier(spark, "1d").agg(
+        F.sum("cnt").alias("c"), F.sum("cnt_lat").alias("cl")).collect()[0]
+    assert (agg["c"], agg["cl"]) == (60, 58)
+
+    # restart with one new file: only the new batch lands
+    write_batch(3, 30, 35)
+    S.stream_ingest_to_snapshot(spark, str(src_dir), tbl, ckpt,
+                                mat=mat, max_files_per_trigger=1)
+    assert tbl.current_snapshot_id() == 4
+    assert S.last_stream_batch_id(tbl) == 3
+    assert tbl.read(spark).count() == 70
+
+    # replayed delivery: a FRESH checkpoint re-offers every file with batch
+    # ids from 0 — all <= the last committed id, so nothing commits
+    S.stream_ingest_to_snapshot(spark, str(src_dir), tbl,
+                                str(tmp_path / "ckpt2"),
+                                mat=mat, max_files_per_trigger=1)
+    assert tbl.current_snapshot_id() == 4
+    assert tbl.read(spark).count() == 70

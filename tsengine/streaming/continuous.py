@@ -120,6 +120,69 @@ def latency_state_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def last_stream_batch_id(table) -> int:
+    """Largest stream batch id recorded in any committed snapshot of
+    ``table`` (-1 when none): scanned newest-first so interleaved
+    non-stream commits (retention, compaction) don't hide it."""
+    for man in reversed(table.snapshots()):
+        bid = man.get("properties", {}).get("stream_batch_id")
+        if bid is not None:
+            return int(bid)
+    return -1
+
+
+def stream_ingest_to_snapshot(
+    spark: SparkSession, in_path: str, table, checkpoint: str,
+    mat=None, max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming ingestion into a :class:`SnapshotTable` with
+    EXACTLY-ONCE commits, optionally maintaining continuous aggregates.
+
+    ``foreachBatch`` gives at-least-once delivery: after a crash between
+    the sink call and the checkpoint commit, the same micro-batch is
+    re-delivered on restart.  The sink makes that idempotent the standard
+    way — the transactional boundary is the snapshot commit itself, which
+    records ``stream_batch_id`` in its properties; a re-delivered batch id
+    <= the last committed one is skipped.  (The Iceberg parallel: the
+    commit carries the checkpoint epoch, and replays no-op.)
+
+    When ``mat`` (a :class:`~tsengine.materialize.MaterializedTiers` over
+    ``table``) is given, each committed batch is folded into the 1m/1h/1d
+    tiers by an incremental refresh — streaming continuous aggregates WITH
+    the latency plane (conv-state anchors carry cross-batch continuity),
+    which the pure windowed :func:`streaming_tier` cannot express.  A kill
+    anywhere (mid-refresh included) resumes cleanly: refresh() reconciles
+    component positions, the sink skips replayed batches.
+
+    Runs with Trigger.AvailableNow (drain-and-stop — deterministic tests /
+    periodic micro-batch maintenance); pass ``max_files_per_trigger`` to
+    force multi-batch runs.  Returns after the stream drains.
+    """
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_stream_batch_id(table):
+            return  # replayed delivery after a crash: already committed
+        table.append(
+            bdf.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            properties={"stream_batch_id": int(batch_id)},
+        )
+        if mat is not None:
+            mat.refresh(bdf.sparkSession)
+
+    reader = spark.readStream.schema(TRANSCRIPT_COLS).option(
+        "pathGlobFilter", "*.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (
+        reader.parquet(in_path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession, in_path: str, out_path: str, checkpoint: str,
     width_sec: int = 60,
