@@ -221,7 +221,12 @@ def main():
     from tsengine.sources.snapshots import SnapshotTable
 
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    mroot = f"/tmp/tsengine_bench_mat_{_uuid.uuid4().hex[:8]}"
+    # table root on tmpfs, same substrate control as the shuffle dirs: the
+    # sandbox block device serializes the parquet writes a real executor's
+    # NVMe would stripe (setup cost only — the timed refresh is compute+
+    # commit machinery either way)
+    mbase = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    mroot = f"{mbase}/tsengine_bench_mat_{_uuid.uuid4().hex[:8]}"
     src = SnapshotTable(os.path.join(mroot, "source"), ts_col="ts")
     mat = MaterializedTiers(
         src, os.path.join(mroot, "tiers"),
