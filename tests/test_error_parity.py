@@ -161,3 +161,61 @@ def test_merge_collision_non_unique_index(spark):
     merged = two.selectExpr("cast(0 as long) as series_id", "epoch", "value")
     with pytest.raises(TsError, match="^Non unique index$"):
         check_merge_collisions(merged)
+
+
+def test_not_a_list_of_timeseries():
+    from tsengine.core import TsError, check_series_list
+
+    with pytest.raises(TsError, match=r"^Not a list of timeseries$"):
+        check_series_list("a")  # tf tests: increments('a')
+
+
+def test_meter_empty_series_invalid():
+    from tsengine.core import TsError, check_meter_input
+
+    with pytest.raises(TsError, match=r"^Invalid timeserie received$"):
+        check_meter_input([[(1, 1.0)], []])  # af:310-312
+
+
+def test_af_invalid_value_names_offender(spark):
+    from tsengine.core import TsError, to_float_af
+
+    df = spark.createDataFrame(
+        [(1, 10, "7.5"), (1, 20, "xyz"), (1, 30, None)],
+        "series_id int, epoch long, value string",
+    )
+    with pytest.raises(TsError, match=r"^Invalid value xyz received$"):
+        to_float_af(df)  # af:281
+    ok = to_float_af(df.filter("value is null or value = '7.5'"))
+    vals = {r["epoch"]: r["value"] for r in ok.collect()}
+    assert vals == {10: 7.5, 30: None}  # None passes through (af None branch)
+
+
+def test_af_scalar_not_a_number_names_value(spark):
+    from tsengine.core import TsError
+    from tsengine.operators.arithmetic import scalar_product_af
+
+    df = spark.createDataFrame([(1, 10, 2.0)], "series_id int, epoch long, value double")
+    with pytest.raises(TsError, match=r"^Value received is not a number: a$"):
+        scalar_product_af(df, "a")  # af:358-362
+    assert scalar_product_af(df, "3").collect()[0]["value"] == 6.0
+
+
+@pytest.mark.parametrize("op,msg", [
+    ("add", "Timeseries lists must have the same dimension"),
+    ("sub", "Subtraction - Timeseries list must have same dimension"),
+    ("mul", "Product - Timeseries list must have same dimension"),
+    ("div", "Division - Timeseries list must have same dimension"),
+])
+def test_pairwise_dimension_messages(spark, op, msg):
+    from tsengine.core import TsError
+    from tsengine.operators.arithmetic import check_same_dimension
+
+    d1 = spark.createDataFrame([(1, 10, 1.0), (2, 10, 1.0)],
+                               "series_id int, epoch long, value double")
+    d2 = spark.createDataFrame([(1, 10, 1.0)],
+                               "series_id int, epoch long, value double")
+    with pytest.raises(TsError) as ei:
+        check_same_dimension(d1, d2, op)  # tf:793/847/901/956
+    assert str(ei.value) == msg
+    check_same_dimension(d1, d1, op)  # equal sets pass

@@ -89,6 +89,39 @@ def check_series(df: DataFrame, sample_limit: int = 5) -> None:
         raise TsError("Element is not a timeserie: Non positive values in index")
 
 
+def check_series_list(ts_lists) -> None:
+    """List-level type gate for the python ts_list API surface
+    (reference increments/scalar ops on a non-list argument,
+    tf:328-330 via tests: 'Not a list of timeseries')."""
+    if not isinstance(ts_lists, (list, tuple)):
+        raise TsError("Not a list of timeseries")
+
+
+def check_meter_input(ts_lists) -> None:
+    """Meter-path input gate: an empty per-meter series is invalid
+    (reference compute_meter_increments, af:310-312)."""
+    check_series_list(ts_lists)
+    for ts in ts_lists:
+        if len(ts) == 0:
+            raise TsError("Invalid timeserie received")
+
+
+def to_float_af(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """af-layer float walk (rearrange_timeseries value pass, af:270-283):
+    like :func:`assert_castable` but with the af layer's message, which
+    names the first offending value ('Invalid value %s received',
+    af:281).  NULLs pass through, matching the reference's None branch."""
+    casted = df.withColumn("_c", F.col(value_col).try_cast("double"))
+    bad = (
+        casted.filter(F.col(value_col).isNotNull() & F.col("_c").isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise TsError(f"Invalid value {bad[0][value_col]} received")
+    return casted.withColumn(value_col, F.col("_c")).drop("_c")
+
+
 def ts_to_float(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Cast the value plane to double (reference ts_to_float, tf:398-405).
 

@@ -123,6 +123,44 @@ def pair_op(df1: DataFrame, df2: DataFrame, op: str) -> DataFrame:
     return out
 
 
+_DIM_MSG = {
+    "add": "Timeseries lists must have the same dimension",  # tf:793
+    "sub": "Subtraction - Timeseries list must have same dimension",  # tf:847
+    "mul": "Product - Timeseries list must have same dimension",  # tf:901
+    "div": "Division - Timeseries list must have same dimension",  # tf:956
+}
+
+
+def check_same_dimension(df1: DataFrame, df2: DataFrame, op: str = "add") -> None:
+    """Pairwise-arithmetic dimension gate with the reference's per-op
+    messages (tf:793/847/901/956).  The reference compares ts-LIST lengths;
+    in long format the analogue is series-set equality — both operands must
+    carry the same series ids (an unmatched id is exactly a missing list
+    position).  One symmetric anti-join action at the trust boundary, same
+    design as core.check_series (explicit, not per-operator)."""
+    a = df1.select("series_id").distinct()
+    b = df2.select("series_id").distinct()
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    if diff.limit(1).count():
+        raise TsError(_DIM_MSG[op])
+
+
+def scalar_number_af(scalar) -> float:
+    """af scalar layer's number validation — message differs from tf's
+    'number is not numeric': af names the value
+    ('Value received is not a number: %s', af:358-362)."""
+    try:
+        return float(scalar)
+    except (TypeError, ValueError):
+        raise TsError(f"Value received is not a number: {scalar}") from None
+
+
+def scalar_product_af(df: DataFrame, scalar) -> DataFrame:
+    """af scalar_product (af:356-372): same multiply as the tf scalar op,
+    validated with the af layer's exact message."""
+    return scalar_product(df, scalar_number_af(scalar))
+
+
 def addition(*dfs: DataFrame) -> DataFrame:
     """Variadic fold of pairwise addition (tf:760-801)."""
     if len(dfs) <= 1:
