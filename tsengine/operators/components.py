@@ -1,0 +1,159 @@
+"""Distributed connected components + dedup cluster resolution.
+
+The near-dup operators (:mod:`tsengine.operators.dedup`) emit candidate
+*pairs*; a real dedup pipeline needs the transitive closure — "A~B and B~C
+means A,B,C are one duplicate cluster" — and then one canonical document per
+cluster.  Pair emission alone under-dedups: at web scale a popular boilerplate
+page forms chains of near-dups where many pairs individually miss the
+similarity threshold against the canonical doc but connect through
+intermediates.
+
+``connected_components`` is the alternating *large-star / small-star*
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): each round is two shuffle stages of pure DataFrame ops
+(symmetrize -> groupBy-min -> join-back -> emit), and the edge set provably
+converges to per-component stars in O(log n) rounds — unlike naive min-label
+propagation, which needs O(diameter) rounds and dies on chain-shaped
+clusters.  No driver-side graph state: the only per-round driver traffic is
+a two-scalar convergence fingerprint.
+
+Scale notes:
+- every round re-partitions edges by node id — uniform keys (doc ids), no
+  skew amplification: large-star caps high-degree neighborhoods by
+  emitting only (bigger-neighbor -> min) edges;
+- each round ends with ``localCheckpoint`` to truncate the lineage —
+  iterative plans otherwise grow exponentially and re-execute every prior
+  round at each action.  On a real cluster with executor loss you'd use a
+  reliable ``checkpoint()`` against the cluster FS instead (same call
+  site, flip ``reliable=True`` after ``setCheckpointDir``);
+- convergence test = (count, bit_xor of xxhash64(edge)) fingerprint
+  equality — one tiny agg action per round instead of a full ``exceptAll``
+  anti-join (an extra shuffle per round at 100 TB).  A false-positive stop
+  needs a fingerprint collision between different edge multisets: 2^-64
+  per round, documented as accepted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("u"), F.col("_mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct every edge large->small, then connect each node's smaller
+    neighbors (and itself) to the minimum of them."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("_mn"))
+    nbr = (
+        directed.join(mins, "u")
+        .where(F.col("v") != F.col("_mn"))
+        .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+    )
+    own = mins.select("u", F.col("_mn").alias("v"))
+    return nbr.union(own).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over an undirected pair list.
+
+    Returns (node, component) for every node that appears in ``pairs``,
+    where ``component`` is the minimum node id reachable from it.  Nodes
+    absent from ``pairs`` are absent here — callers resolving a full table
+    left-join and coalesce to self (:func:`dedup_resolve`).
+
+    ``max_iter`` is a safety net far above the O(log n) bound (2^30 nodes);
+    non-convergence raises instead of returning wrong clusters.  When
+    ``stats`` is passed, ``stats["rounds"]`` records the rounds used —
+    pinned by the chain-graph test to verify the logarithmic bound holds.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    prev_fp = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        cur_fp = (fp["n"], fp["x"])
+        if cur_fp == prev_fp:
+            break
+        prev_fp = cur_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged edges are stars (node -> component root); roots themselves
+    # appear only on the right side
+    nodes = _symmetrize(e).select("u").distinct()
+    return (
+        nodes.join(e, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("v"), F.col("u")).alias("component"),
+        )
+    )
+
+
+def dedup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Full-table dedup resolution: every doc gets its duplicate-cluster
+    id (min doc id in its component; itself when it has no duplicates) and
+    an ``is_canonical`` keep flag.  ``docs.where(is_canonical)`` is the
+    deduplicated corpus; ``count - countDistinct(component)`` is the number
+    of removed duplicates.
+
+    One broadcast-able join at the end: the components frame holds only
+    nodes that appear in at least one pair — at web scale a small fraction
+    of the corpus — so Spark broadcasts it against the full table instead
+    of shuffling 100 TB of docs.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_canonical"),
+        )
+    )

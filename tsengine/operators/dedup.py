@@ -413,3 +413,49 @@ def _hyperplane_near_dups(emb, hyper, vec_col, id_col, threshold, multiprobe):
     if multiprobe:
         out = out.distinct()  # a pair can match via several probe buckets
     return out.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    quantize every embedding into a cell (broadcast codebook literals, argmin
+    squared-L2 in codegen), compute exact pairwise cosine WITHIN each cell
+    only, then resolve duplicate clusters over pairs >= threshold with
+    distributed connected components and keep the min-id vector per cluster.
+
+    Output: (vec_id, component, is_canonical) for EVERY input vector —
+    ``where(is_canonical)`` is the semantically-deduplicated corpus.
+
+    Scale shape: the self-join is cell-bucketed (never all-pairs; codebook
+    size controls expected cell population), the transitive closure is the
+    O(log n)-round star algorithm, and the final resolution join broadcasts
+    the (small) paired-node frame against the full corpus.  Codebook choice:
+    :func:`~tsengine.operators.similarity.fixed_centroids` for a
+    deterministic/oracle-able pipeline, ``train_centroids_distributed`` for
+    quantizer quality at scale."""
+    from tsengine.operators.components import dedup_resolve
+    from tsengine.operators.similarity import _dot, _norm, ivf_assign
+
+    a = ivf_assign(emb, centroids, vec_col, id_col).select(
+        F.col("vec_id").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        "ivf_cell",
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    cos = F.round(
+        _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm")), 6
+    )
+    pairs = (
+        x.join(y, (F.col("x.ivf_cell") == F.col("y.ivf_cell")) & (F.col("x.vid") < F.col("y.vid")))
+        .where(cos >= threshold)
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
+    )
+    return dedup_resolve(
+        emb.select(F.col(id_col)), pairs, id_col=id_col, src="vec_a", dst="vec_b"
+    )

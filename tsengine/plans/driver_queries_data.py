@@ -84,6 +84,40 @@ def q_lsh_near_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full near-dup DEDUP pipeline, not just pairs: LSH candidates ->
+    jaccard confirm (>= 0.5) -> distributed connected components
+    (large-star/small-star) -> canonical min-id doc per duplicate cluster,
+    resolved over the whole documents table.  The DuckDB oracle recomputes
+    the same pair set and closes it transitively with a recursive CTE."""
+    from tsengine.operators.components import dedup_resolve
+
+    docs = _docs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    pairs = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    out = dedup_resolve(docs, pairs)
+    return out.select(
+        "doc_id", "component", F.col("is_canonical").cast("long").alias("is_canonical")
+    )
+
+
+SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD = 8, 0.3
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table with the deterministic literal
+    codebook: cell assignment, in-cell cosine pairs and the connected-
+    components closure are all mirrored exactly in the DuckDB oracle."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = similarity.fixed_centroids(SEMDEDUP_CELLS, 64, seed=7)
+    out = dedup.semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+    return out.select(
+        "vec_id", "component", F.col("is_canonical").cast("long").alias("is_canonical")
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -373,8 +407,7 @@ _lsh_bands = "\nUNION ALL\n".join(
     f"CAST(mh{2*b+1} AS VARCHAR)) AS bh FROM sig"
     for b in range(8)
 )
-ORACLE["q_lsh_near_dups"] = f"""
-WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+_LSH_CTES = f"""sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
 h AS (SELECT doc_id, s, ({_H15.format(x='s')}) % {MINHASH_P} AS h FROM sh),
 sig AS (SELECT doc_id, {_lsh_mh} FROM h GROUP BY doc_id),
 bands AS ({_lsh_bands}),
@@ -388,12 +421,39 @@ inter AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+ORACLE["q_lsh_near_dups"] = f"""
+WITH {_LSH_CTES}
 SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+"""
+
+# transitive closure of the confirmed LSH pairs by recursive CTE, then
+# min-reachable-id labeling — the oracle for the distributed
+# large-star/small-star connected components + canonical resolution
+ORACLE["q_dedup_clusters"] = f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(i / (na.n + nb.n - i), 6) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CAST(coalesce(c.component, d.doc_id) = d.doc_id AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 ORACLE["q_compress_roundtrip"] = (
@@ -441,6 +501,43 @@ WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.5
 
 
 ORACLE["q_embedding_near_dups"] = _near_dup_sql()
+
+
+def _semantic_dedup_sql() -> str:
+    """Mirror of q_semantic_dedup: literal codebook cells (argmin L2, ties
+    to the lowest cell — ORDER BY dist, cell == the engine's strict-< chain),
+    in-cell cosine pairs >= threshold, recursive-CTE transitive closure."""
+    cents = similarity.fixed_centroids(SEMDEDUP_CELLS, 64, seed=7)
+    rows = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH RECURSIVE cents(cell, c) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a AS (SELECT vec_id, vec,
+        (SELECT cell FROM cents ORDER BY list_distance(cents.c, e.vec) ASC, cell ASC LIMIT 1) AS cell,
+        sqrt(list_dot_product(vec, vec)) AS nrm
+      FROM e),
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= {SEMDEDUP_THRESHOLD}),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+comp AS (SELECT u AS vec_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT em.vec_id,
+       coalesce(c.component, em.vec_id) AS component,
+       CAST(coalesce(c.component, em.vec_id) = em.vec_id AS BIGINT) AS is_canonical
+FROM embeddings em LEFT JOIN comp c USING (vec_id)
+"""
+
+
+ORACLE["q_semantic_dedup"] = _semantic_dedup_sql()
 
 ORACLE["q_transcript_rollup_1m"] = f"""
 WITH t AS (
@@ -573,6 +670,8 @@ QUERIES = {
     "q_minhash": q_minhash,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_lsh_near_dups": q_lsh_near_dups,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_knn_ivf": q_knn_ivf,
