@@ -227,6 +227,68 @@ def q_materialized_1d_retention(spark, sf_dir):
     )
 
 
+def q_stream_ingest_1h(spark, sf_dir):
+    """Structured-Streaming ingestion made value-checkable end-to-end: the
+    transcript frame lands as TWO parquet files (turns 1-30, then the rest —
+    every conversation split mid-stream) consumed as separate micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered), each committed to a SnapshotTable
+    through the exactly-once foreachBatch sink and folded into the
+    materialized tiers by incremental refresh.  The streamed 1h tier must
+    equal the full-rescan oracle — shares q_materialized_tier_1h's SQL, so
+    a broken micro-batch boundary (lost anchor state, double-committed or
+    skipped batch) is a value mismatch, not just a pytest failure."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from tsengine.materialize import MaterializedTiers
+    from tsengine.plans.driver_queries_data import ROLE_VOCAB, TOOL_VOCAB
+    from tsengine.sources.snapshots import SnapshotTable
+    from tsengine.streaming import continuous as S
+
+    key = ("stream1h", sf_dir)
+    if key not in _memo:
+        t = _transcripts(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="tseng_stream_")
+        src_dir = os.path.join(root, "in")
+        os.makedirs(src_dir)
+        for n, batch in enumerate(
+            (t.filter(F.col("turn_idx") <= 30), t.filter(F.col("turn_idx") > 30))
+        ):
+            stage = os.path.join(root, f"stage{n}")
+            batch.coalesce(1).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dest = os.path.join(src_dir, f"b{n}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (1_000_000 + n, 1_000_000 + n))  # source order
+        tbl = SnapshotTable(os.path.join(root, "table"), ts_col="ts")
+        mat = MaterializedTiers(
+            tbl, os.path.join(root, "tiers"),
+            role_vocab=ROLE_VOCAB, tool_vocab=TOOL_VOCAB,
+        )
+        S.stream_ingest_to_snapshot(
+            spark, src_dir, tbl, os.path.join(root, "ckpt"),
+            mat=mat, max_files_per_trigger=1,
+        )
+        assert S.last_stream_batch_id(tbl) == 1  # two micro-batches committed
+        _memo[key] = mat
+    out = _memo[key].read_tier(spark, "1h")
+    dist = [
+        F.coalesce(F.element_at(F.col("role_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"r_{v}")
+        for v in ROLE_VOCAB
+    ] + [
+        F.coalesce(F.element_at(F.col("tool_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"t_{v}")
+        for v in TOOL_VOCAB
+    ]
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+        *dist,
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _EVT_SQL = "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events"
@@ -277,6 +339,7 @@ FROM l GROUP BY 1, 2
 
 ORACLE["q_materialized_tier_1h"] = _mat_sql(3600)
 ORACLE["q_materialized_1d_retention"] = _mat_sql(86400)
+ORACLE["q_stream_ingest_1h"] = _mat_sql(3600)
 
 QUERIES = {
     "q_snapshot_time_travel": q_snapshot_time_travel,
@@ -285,4 +348,5 @@ QUERIES = {
     "q_materialized_tier_1h": q_materialized_tier_1h,
     "q_snapshot_compact": q_snapshot_compact,
     "q_materialized_1d_retention": q_materialized_1d_retention,
+    "q_stream_ingest_1h": q_stream_ingest_1h,
 }
