@@ -244,3 +244,52 @@ def test_jaccard_no_pairs_plan_is_df_capped(spark, docs):
     out = dedup.ngram_jaccard_pairs(docs, pairs=None, max_doc_freq=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_df" in plan and "<= 7" in plan, plan[:2000]
+
+
+def test_gopher_quality_rules(spark):
+    rows = [
+        (0, " ".join(["the and of to in wordiness"] * 10)),  # 60 words, passes
+        (1, "too short"),                                     # word-count fail
+        (2, " ".join(["the and of to in ######"] * 10)),     # symbol-ratio fail
+        (3, "- bullet\n- bullet\n- bullet"),                  # bullets + no stopwords
+        (4, ""),                                              # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.gopher_quality(docs).collect()}
+    assert out[0]["n_words"] == 60 and out[0]["gopher_pass"] == 1
+    assert out[1]["gopher_pass"] == 0
+    assert out[2]["symbol_ratio"] > 0.1 and out[2]["gopher_pass"] == 0
+    assert out[3]["bullet_ratio"] == 1.0 and out[3]["gopher_pass"] == 0
+    assert out[4]["n_words"] == 0 and out[4]["gopher_pass"] == 0
+    # ellipsis: 2 of 4 lines end in ..., ratio 0.5 > 0.3
+    e = spark.createDataFrame(
+        [(0, "a line...\nplain\nanother one...\nplain")], "doc_id long, text string"
+    )
+    r = textops.gopher_quality(e).collect()[0]
+    assert r["ellipsis_ratio"] == 0.5 and r["gopher_pass"] == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a b": len 11; 2-grams = [a b, b a, a b, b a, a b]
+    # top 2-gram "a b" x3, len 3 -> 9/11; 5-grams: "a b a b a" x1, "b a b a b" x1
+    # -> dup5 frac 0
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x y x y x y x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert abs(out[0]["top2gram_char_frac"] - round(9 / 11, 6)) < 1e-9
+    assert out[0]["dup5gram_char_frac"] == 0.0
+    # doc 1: len 15, 5-grams: "x y x y x" x2, "y x y x y" x2 -> (2*9+2*9)/15 = 2.4
+    assert abs(out[1]["dup5gram_char_frac"] - 2.4) < 1e-9
+    # deterministic tie-break: "b a" also appears but "a b" wins (count desc)
+    # and at equal counts the lexically-smaller ngram is chosen
+    tie = spark.createDataFrame([(0, "b a b a")], "doc_id long, text string")
+    r = textops.repetition_stats(tie).collect()[0]
+    # 2-grams: "b a" x2, "a b" x1 -> top is "b a": 2*3/7
+    assert abs(r["top2gram_char_frac"] - round(6 / 7, 6)) < 1e-9
+
+
+def test_repetition_short_doc_no_ngrams(spark):
+    docs = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    r = textops.repetition_stats(docs).collect()[0]
+    assert r["top3gram_char_frac"] == 0.0 and r["dup5gram_char_frac"] == 0.0

@@ -152,6 +152,143 @@ def shingle_rows(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id")
     return shingle_rows_raw(df, text_col, k, id_col).distinct()
 
 
+def _q6(c: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — cross-engine-exact 6dp quantization (see
+    quality_score)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models", App. A)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021) as pure column
+    expressions — the standard pre-training heuristic filter set: word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and ...),
+    bullet-start / ellipsis-end line ratios, fraction of words containing an
+    alphabetic character, and distinct-stopword presence.  Emits the feature
+    plane plus the composite ``gopher_pass`` flag, so pipelines can either
+    filter or audit rule-by-rule.
+
+    All JVM-side codegen (no UDF) and every fraction is floor-quantized at
+    6dp, so the DuckDB oracle pins values exactly."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks).cast("double")
+    # closed-form mean word length: non-whitespace chars / words (identical
+    # to avg(len(word)) for whitespace tokenization)
+    tok_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+    mean_wl = F.when(n_words > 0, tok_chars / n_words).otherwise(F.lit(0.0))
+    n_hash = (F.length(t) - F.length(F.regexp_replace(t, r"#", ""))).cast("double")
+    n_ell = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    ).cast("double")
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ell) / n_words).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-\*•]"))
+    ).cast("double")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))
+    ).cast("double")
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+    alpha_frac = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    low = F.transform(toks, lambda x: F.lower(x))
+    stop_hits = F.size(
+        F.filter(F.lit(LANG_STOPWORDS["en"]), lambda w: F.array_contains(low, w))
+    ).cast("long")
+    bullet_ratio = n_bullet / n_lines
+    ell_ratio = n_ell_end / n_lines
+    gpass = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ell_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        _q6(mean_wl).alias("mean_word_len"),
+        _q6(symbol_ratio).alias("symbol_ratio"),
+        _q6(bullet_ratio).alias("bullet_ratio"),
+        _q6(ell_ratio).alias("ellipsis_ratio"),
+        _q6(alpha_frac).alias("alpha_frac"),
+        stop_hits.alias("stopword_hits"),
+        gpass.cast("long").alias("gopher_pass"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", top_ns: tuple = (2, 3, 4), dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition features over word n-grams: for each n in
+    ``top_ns`` the fraction of text characters covered by the single MOST
+    FREQUENT n-gram (count x ngram length / text length), and for ``dup_n``
+    the fraction covered by all n-grams occurring more than once.
+
+    Definition note: occurrences are the raw sliding-window multiset, so
+    overlapping occurrences double-count characters — a deliberate
+    simplification over Gopher's non-overlapping char accounting, applied
+    identically in the DuckDB oracle (same numbers, cheaper plan).  The
+    most-frequent n-gram tie-breaks deterministically (count desc, ngram
+    asc), expressed as ``min(struct(-count, ngram))`` so it stays a codegen
+    hash aggregate rather than a per-doc sort.
+
+    Plan shape: one explode + two hash aggregates per n, all keyed by
+    doc_id (uniform), joined back on doc_id — no windows, no UDFs,
+    no driver-side state; survives arbitrary corpus width."""
+    lens = df.select("doc_id", F.length(text_col).cast("double").alias("_len"))
+    out = lens
+    for n in list(top_ns):
+        sh = shingle_rows_raw(df, text_col, k=n)
+        cnts = sh.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+        best = (
+            cnts.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("s"))).alias("b"))
+            .select(
+                "doc_id",
+                (-F.col("b.nc") * F.length("b.s")).alias(f"_cov{n}"),
+            )
+        )
+        out = out.join(best, "doc_id", "left")
+    shd = shingle_rows_raw(df, text_col, k=dup_n)
+    dcnts = shd.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    dup = (
+        dcnts.where(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("s")).alias("_dcov"))
+    )
+    out = out.join(dup, "doc_id", "left")
+    cols = [
+        _q6(F.coalesce(F.col(f"_cov{n}"), F.lit(0.0)) / F.greatest("_len", F.lit(1.0))).alias(
+            f"top{n}gram_char_frac"
+        )
+        for n in list(top_ns)
+    ]
+    return out.select(
+        "doc_id",
+        *cols,
+        _q6(
+            F.coalesce(F.col("_dcov"), F.lit(0.0)) / F.greatest("_len", F.lit(1.0))
+        ).alias(f"dup{dup_n}gram_char_frac"),
+    )
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3'), distinct, from the token
     stream.  Pure array functions — no UDF.

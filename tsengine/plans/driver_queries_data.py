@@ -47,6 +47,14 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    return textops.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_repetition(spark, sf_dir):
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -318,6 +326,91 @@ ORACLE["q_fingerprint"] = f"""
 SELECT doc_id, md5({_NORM}) AS fp_md5,
        CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp_int
 FROM documents
+"""
+
+def _ngrams_raw(n: int, tk: str = "tk") -> str:
+    """Raw (multiset) word n-grams over a lowercased token list column."""
+    return (
+        f"[array_to_string({tk}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({tk}) - {n - 1}, 0) + 1)]"
+    )
+
+
+_Q6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+ORACLE["q_gopher_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_CASED}) END)::DOUBLE AS n_words,
+    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS tok_chars,
+    (length(text) - length(replace(text, '#', '')))::DOUBLE AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE AS n_ell,
+    string_split(text, chr(10)) AS lines,
+    len(list_filter({_TOKS_CASED}, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS n_alpha,
+    len(list_filter({_STOP_EN}, w -> list_contains({_TOKS}, w)))::BIGINT AS stop_hits
+  FROM documents),
+f AS (
+  SELECT doc_id, n_words, stop_hits,
+    CASE WHEN n_words > 0 THEN tok_chars / n_words ELSE 0.0 END AS mean_wl,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words ELSE 0.0 END AS symbol_ratio,
+    len(list_filter(lines, x -> regexp_matches(trim(x), '^[-\\*•]')))::DOUBLE
+      / len(lines) AS bullet_ratio,
+    len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))::DOUBLE
+      / len(lines) AS ell_ratio,
+    CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_frac
+  FROM t)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  {_Q6.format(x='mean_wl')} AS mean_word_len,
+  {_Q6.format(x='symbol_ratio')} AS symbol_ratio,
+  {_Q6.format(x='bullet_ratio')} AS bullet_ratio,
+  {_Q6.format(x='ell_ratio')} AS ellipsis_ratio,
+  {_Q6.format(x='alpha_frac')} AS alpha_frac,
+  stop_hits AS stopword_hits,
+  CAST(n_words >= {textops.GOPHER_MIN_WORDS} AND n_words <= {textops.GOPHER_MAX_WORDS}
+   AND mean_wl >= {textops.GOPHER_MIN_MEAN_WORD_LEN} AND mean_wl <= {textops.GOPHER_MAX_MEAN_WORD_LEN}
+   AND symbol_ratio <= {textops.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_ratio <= {textops.GOPHER_MAX_BULLET_RATIO}
+   AND ell_ratio <= {textops.GOPHER_MAX_ELLIPSIS_RATIO}
+   AND alpha_frac >= {textops.GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {textops.GOPHER_MIN_STOPWORD_HITS} AS BIGINT) AS gopher_pass
+FROM f
+"""
+
+
+def _rep_cov(n: int) -> str:
+    """Char coverage of the most frequent n-gram (count desc, ngram asc)."""
+    return f"""c{n} AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (SELECT doc_id, unnest({_ngrams_raw(n)}) AS s FROM toks)
+  GROUP BY 1, 2),
+b{n} AS (
+  SELECT doc_id, c * length(s) AS cov
+  FROM c{n}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s ASC) = 1)"""
+
+
+ORACLE["q_repetition"] = f"""
+WITH toks AS (SELECT doc_id, length(text)::DOUBLE AS tlen, {_TOKS} AS tk FROM documents),
+{_rep_cov(2)},
+{_rep_cov(3)},
+{_rep_cov(4)},
+c5 AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (SELECT doc_id, unnest({_ngrams_raw(5)}) AS s FROM toks)
+  GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id, sum(c * length(s)) AS cov FROM c5 WHERE c > 1 GROUP BY 1)
+SELECT t.doc_id,
+  {_Q6.format(x='coalesce(b2.cov, 0.0) / greatest(t.tlen, 1.0)')} AS top2gram_char_frac,
+  {_Q6.format(x='coalesce(b3.cov, 0.0) / greatest(t.tlen, 1.0)')} AS top3gram_char_frac,
+  {_Q6.format(x='coalesce(b4.cov, 0.0) / greatest(t.tlen, 1.0)')} AS top4gram_char_frac,
+  {_Q6.format(x='coalesce(d5.cov, 0.0) / greatest(t.tlen, 1.0)')} AS dup5gram_char_frac
+FROM toks t
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN b3 USING (doc_id)
+LEFT JOIN b4 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
 """
 
 _simhash_votes = ",\n  ".join(
@@ -665,6 +758,8 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_language_id": q_language_id,
     "q_fingerprint": q_fingerprint,
+    "q_gopher_quality": q_gopher_quality,
+    "q_repetition": q_repetition,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
