@@ -293,3 +293,19 @@ def test_repetition_short_doc_no_ngrams(spark):
     docs = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
     r = textops.repetition_stats(docs).collect()[0]
     assert r["top3gram_char_frac"] == 0.0 and r["dup5gram_char_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "mail a.b+c@foo-bar.org or x@y.io, server 192.168.1.250, tel +34 600 123 456"),
+        (1, "no pii here at all"),
+        (2, "ip 1.2.3.4 then 999.999.999.999 stays redacted too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.pii_scrub(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) == (2, 1, 1)
+    assert out[0]["text_clean"] == "mail <EMAIL> or <EMAIL>, server <IP>, tel <PHONE>"
+    assert out[1]["text_clean"] == "no pii here at all"
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (0, 0, 0)
+    # the dotted-quad pattern is syntactic (1-3 digit octets), not semantic
+    assert out[2]["n_ipv4"] == 2 and "<IP>" in out[2]["text_clean"]

@@ -289,6 +289,41 @@ def repetition_stats(
     )
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences / lookaround), so Spark and a DuckDB oracle match the
+# same spans: emails, dotted-quad IPv4, and +international phone numbers.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data anonymization pass: count and redact emails, IPv4
+    addresses and international phone numbers with typed placeholder tags.
+    Pure ``regexp_count`` / ``regexp_replace`` column expressions — one
+    codegen scan, no UDF, trivially parallel at any corpus width.
+
+    Order matters and is fixed: emails first (an email must not be
+    half-eaten by the phone pattern), then IPv4, then phones over the
+    already-redacted text.  The redaction counts are computed on the same
+    intermediate the replacement saw, so counts always equal the number of
+    placeholders inserted."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phones"),
+        t3.alias("text_clean"),
+    )
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3'), distinct, from the token
     stream.  Pure array functions — no UDF.

@@ -55,6 +55,33 @@ def q_repetition(spark, sf_dir):
     return textops.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction made value-checkable on PII-free synthetic docs by
+    deterministically injecting fake PII derived from doc_id (every 2nd doc
+    an email, every 3rd an IP, every 5th a phone), mirrored verbatim in the
+    oracle's SQL concat — the scrubbed text and per-kind counts must match
+    character-for-character."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" reach me at user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" call +34 600 "), (100 + F.col("doc_id") % 900).cast("string"), F.lit(" 123")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(d)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -375,6 +402,35 @@ SELECT doc_id,
    AND alpha_frac >= {textops.GOPHER_MIN_ALPHA_FRAC}
    AND stop_hits >= {textops.GOPHER_MIN_STOPWORD_HITS} AS BIGINT) AS gopher_pass
 FROM f
+"""
+
+
+ORACLE["q_pii_scrub"] = f"""
+WITH d AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +34 600 ' || (100 + doc_id % 900) || ' 123' ELSE '' END
+    AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{textops.PII_EMAIL}'))::BIGINT AS n_emails,
+    regexp_replace(text, '{textops.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM d),
+s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{textops.PII_IPV4}'))::BIGINT AS n_ipv4,
+    regexp_replace(t1, '{textops.PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id, n_emails, n_ipv4,
+  len(regexp_extract_all(t2, '{textops.PII_PHONE}'))::BIGINT AS n_phones,
+  regexp_replace(t2, '{textops.PII_PHONE}', '<PHONE>', 'g') AS text_clean
+FROM s2
 """
 
 
@@ -760,6 +816,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_gopher_quality": q_gopher_quality,
     "q_repetition": q_repetition,
+    "q_pii_scrub": q_pii_scrub,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
