@@ -41,6 +41,8 @@ HEADLINE = [
     "q_jaccard_pairs",
     "q_knn_bruteforce",
     "q_embedding_near_dups",
+    "q_dedup_clusters",   # LSH pairs -> connected components -> canonical
+    "q_repetition",       # top/dup n-gram char fractions
 ]
 
 

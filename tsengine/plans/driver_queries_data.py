@@ -270,6 +270,67 @@ def q_salted_rollup_1m(spark, sf_dir):
     )
 
 
+def _typed_events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        # NTZ source: epoch seconds via double cast (session tz pinned UTC)
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (pandas merge_asof / kdb aj): every click event picks the
+    latest purchase at-or-before it per user — the union + keyed window +
+    last(ignorenulls) rewrite (one shuffle, no inequality join).  Oracle:
+    DuckDB's native ASOF LEFT JOIN, an entirely independent implementation
+    of the same semantics."""
+    from tsengine.operators.joins import asof_join
+
+    ev = _typed_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ep")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ep")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, on="ep", by="user_id")
+    return out.select(
+        "event_id", "user_id", F.col("ep").alias("epoch"),
+        F.coalesce(F.col("ep_r"), F.lit(-1)).alias("epoch_r"),
+        F.round(F.coalesce(F.col("pval"), F.lit(0.0)), 6).alias("pval"),
+    )
+
+
+RANGE_JOIN_WINDOW = 21600
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketed range join: clicks matched into per-user [purchase,
+    purchase+6h) windows via bucket-explode + equi-join + residual (never
+    a nested-loop plan — pinned by test_joins), then per-window counts.
+    Oracle: the plain inequality join DuckDB runs natively."""
+    from tsengine.operators.joins import range_join
+
+    ev = _typed_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ep").alias("cep"), F.col("value").alias("cval")
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ep").alias("start"),
+        (F.col("ep") + RANGE_JOIN_WINDOW).alias("end"),
+        F.col("event_id").alias("iid"),
+    )
+    out = range_join(clicks, iv, by="user_id", on="cep", bucket_sec=3600)
+    return out.groupBy("iid").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("cval"), 6).alias("click_value_sum"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -605,6 +666,29 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
+ORACLE["q_asof_join"] = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+c AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ep, max(value) AS pval FROM e
+      WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ep AS epoch,
+       coalesce(p.ep, -1) AS epoch_r,
+       round(coalesce(p.pval, 0.0), 6) AS pval
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ep >= p.ep
+"""
+
+ORACLE["q_range_join"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+c AS (SELECT user_id, ep, value FROM e WHERE event_type = 'click'),
+i AS (SELECT user_id, ep AS s, ep + {RANGE_JOIN_WINDOW} AS en, event_id AS iid
+      FROM e WHERE event_type = 'purchase')
+SELECT i.iid, count(*) AS n_clicks, round(sum(c.value), 6) AS click_value_sum
+FROM c JOIN i ON c.user_id = i.user_id AND c.ep >= i.s AND c.ep < i.en
+GROUP BY 1
+"""
+
 ORACLE["q_compress_roundtrip"] = (
     "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
     "round(value, 6) AS value FROM events"
@@ -817,6 +901,8 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_repetition": q_repetition,
     "q_pii_scrub": q_pii_scrub,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
