@@ -1,0 +1,54 @@
+"""Sessionization and M4 downsampling: hand-computed vectors + tie-break
+determinism."""
+
+from pyspark.sql import functions as F
+
+from tsengine.operators.eventops import m4_downsample, sessionize
+
+
+def test_sessionize_gaps_and_ties(spark):
+    rows = [
+        # u1: events at 0, 100, 2000 (gap 1900 > 1800 -> new session), 3800
+        ("u1", 0, 1), ("u1", 100, 2), ("u1", 2000, 3), ("u1", 3800, 4),
+        # u2: exact-gap event stays in session (1800 == gap)
+        ("u2", 0, 5), ("u2", 1800, 6),
+        # u2: duplicate ts ordered by event_id
+        ("u2", 1800, 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ep long, event_id long")
+    out = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, by="user_id", ts="ep", gap_sec=1800,
+                               tiebreak="event_id").collect()}
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 2 and out[4] == 2
+    assert out[5] == 1 and out[6] == 1 and out[7] == 1
+
+
+def test_m4_hand_computed(spark):
+    rows = [
+        ("s", 0, 5.0), ("s", 10, 1.0), ("s", 20, 9.0), ("s", 30, 1.0), ("s", 35, 2.0),
+        ("s", 100, 7.0),  # second bucket
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ep long, value double")
+    out = {r["bucket"]: r for r in
+           m4_downsample(df, by="series_id", ts="ep", val="value",
+                         width_sec=50).collect()}
+    b0 = out[0]
+    assert (b0["ts_first"], b0["v_first"]) == (0, 5.0)
+    assert (b0["ts_last"], b0["v_last"]) == (35, 2.0)
+    # tie on min value 1.0 at ts 10 and 30 -> earlier ts wins
+    assert (b0["ts_min"], b0["v_min"]) == (10, 1.0)
+    assert (b0["ts_max"], b0["v_max"]) == (20, 9.0)
+    assert b0["n_points"] == 5
+    b1 = out[100]
+    assert b1["n_points"] == 1 and b1["v_min"] == b1["v_max"] == 7.0
+
+
+def test_m4_single_exchange_plan(spark):
+    df = spark.createDataFrame([("s", 0, 1.0)], "series_id string, ep long, value double")
+    plan = (
+        m4_downsample(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash-aggregate pair around one exchange; no sort, no window
+    assert plan.count("Exchange") <= 2  # final AQE read + shuffle
+    assert "Window" not in plan

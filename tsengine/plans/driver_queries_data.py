@@ -331,6 +331,41 @@ def q_range_join(spark, sf_dir):
     )
 
 
+SESSION_GAP = 1800
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream: 30-minute inactivity
+    timeout per user, (ts, event_id) ordering for duplicate-timestamp
+    determinism.  Oracle: the same lag + running-sum in DuckDB window SQL."""
+    from tsengine.operators.eventops import sessionize
+
+    ev = _typed_events(spark, sf_dir)
+    out = sessionize(ev, by="user_id", ts="ep", gap_sec=SESSION_GAP, tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_idx")
+
+
+M4_WIDTH = 21600
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visual downsample (Jugel et al. VLDB'14) of each user's value
+    series at 6h pixel columns: first/last/min/max values AND timestamps
+    per bucket, with documented deterministic tie-breaks so the DuckDB
+    oracle (group-by + scalar subqueries per extreme) pins every field."""
+    from tsengine.operators.eventops import m4_downsample
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = m4_downsample(ev, by="user_id", ts="ep", val="value", width_sec=M4_WIDTH)
+    r6 = lambda c: F.round(c, 6).alias(c)  # noqa: E731
+    return out.select(
+        "user_id", "bucket", "ts_first", r6("v_first"), "ts_last", r6("v_last"),
+        "ts_min", r6("v_min"), "ts_max", r6("v_max"), "n_points",
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -689,6 +724,48 @@ FROM c JOIN i ON c.user_id = i.user_id AND c.ep >= i.s AND c.ep < i.en
 GROUP BY 1
 """
 
+ORACLE["q_sessionize"] = f"""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+g AS (
+  SELECT event_id, user_id, ep,
+         CASE WHEN lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w > {SESSION_GAP} THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id))
+SELECT event_id, user_id,
+       CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM g
+"""
+
+ORACLE["q_m4_downsample"] = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value::DOUBLE AS value,
+         ({M4_WIDTH} * (CAST(floor(epoch(ts)) AS BIGINT) // {M4_WIDTH}))::BIGINT AS bucket
+  FROM events),
+s AS (
+  SELECT user_id, bucket,
+         min(ep) AS ts_first, max(ep) AS ts_last,
+         min(value) AS v_min, max(value) AS v_max,
+         count(*) AS n_points
+  FROM base GROUP BY 1, 2)
+SELECT s.user_id, s.bucket, s.ts_first,
+  round((SELECT min(b.value) FROM base b WHERE b.user_id = s.user_id
+         AND b.bucket = s.bucket AND b.ep = s.ts_first), 6) AS v_first,
+  s.ts_last,
+  round((SELECT max(b.value) FROM base b WHERE b.user_id = s.user_id
+         AND b.bucket = s.bucket AND b.ep = s.ts_last), 6) AS v_last,
+  (SELECT min(b.ep) FROM base b WHERE b.user_id = s.user_id
+         AND b.bucket = s.bucket AND b.value = s.v_min) AS ts_min,
+  round(s.v_min, 6) AS v_min,
+  (SELECT max(b.ep) FROM base b WHERE b.user_id = s.user_id
+         AND b.bucket = s.bucket AND b.value = s.v_max) AS ts_max,
+  round(s.v_max, 6) AS v_max,
+  s.n_points
+FROM s
+"""
+
 ORACLE["q_compress_roundtrip"] = (
     "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
     "round(value, 6) AS value FROM events"
@@ -903,6 +980,8 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_sessionize": q_sessionize,
+    "q_m4_downsample": q_m4_downsample,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
