@@ -3,7 +3,12 @@ determinism."""
 
 from pyspark.sql import functions as F
 
-from tsengine.operators.eventops import m4_downsample, sessionize
+from tsengine.operators.eventops import (
+    m4_downsample,
+    rolling_zscore,
+    sessionize,
+    time_weighted_avg,
+)
 
 
 def test_sessionize_gaps_and_ties(spark):
@@ -42,6 +47,49 @@ def test_m4_hand_computed(spark):
     assert b0["n_points"] == 5
     b1 = out[100]
     assert b1["n_points"] == 1 and b1["v_min"] == b1["v_max"] == 7.0
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    rows = [
+        # bucket [0,100): v=10 holds 0..80 (80s), v=2 holds 80..100 (20s)
+        ("s", 0, 10.0, 1), ("s", 80, 2.0, 2),
+        # bucket [100,200): single point at 150, holds to 200 (covered 50)
+        ("s", 150, 4.0, 3),
+        # duplicate ts: event 4 gets weight 0, event 5 holds 20..100
+        ("d", 20, 100.0, 4), ("d", 20, 6.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ep long, value double, eid long")
+    out = {(r["series_id"], r["bucket"]): r for r in
+           time_weighted_avg(df, by="series_id", ts="ep", val="value",
+                             width_sec=100, tiebreak="eid").collect()}
+    s0 = out[("s", 0)]
+    assert s0["twa"] == (10.0 * 80 + 2.0 * 20) / 100 and s0["covered_sec"] == 100
+    s1 = out[("s", 100)]
+    assert s1["twa"] == 4.0 and s1["covered_sec"] == 50 and s1["n_points"] == 1
+    d0 = out[("d", 0)]
+    assert d0["twa"] == 6.0 and d0["covered_sec"] == 80 and d0["n_points"] == 2
+
+
+def test_rolling_zscore_hand_computed(spark):
+    rows = [
+        ("s", 0, 1.0), ("s", 10, 3.0),       # window {1,3}: mean 2, std 1
+        ("s", 2000, 5.0),                     # alone in window: std 0 -> NULL z
+        ("s", 2100, 5.0), ("s", 2200, 50.0),  # {5,5,50}: mean 20, std ~21.2
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ep long, value double")
+    out = {r["ep"]: r for r in
+           rolling_zscore(df, by="series_id", ts="ep", val="value",
+                          window_sec=300, k=1.0).collect()}
+    assert out[10]["mean_w"] == 2.0 and out[10]["zscore"] == 1.0
+    assert out[10]["is_anomaly"] is False  # |z| == k not > k
+    assert out[2000]["zscore"] is None and out[2000]["is_anomaly"] is False
+    assert out[2200]["is_anomaly"] is True and out[2200]["zscore"] > 1.0
+    # duplicate timestamps share one frame -> identical stats (determinism)
+    dup = spark.createDataFrame(
+        [("d", 5, 1.0), ("d", 5, 9.0)], "series_id string, ep long, value double")
+    rows2 = rolling_zscore(dup, by="series_id", ts="ep", val="value",
+                           window_sec=10).collect()
+    assert {r["mean_w"] for r in rows2} == {5.0}
 
 
 def test_m4_single_exchange_plan(spark):

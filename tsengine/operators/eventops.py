@@ -48,6 +48,88 @@ def sessionize(
     return df.withColumn("session_idx", F.sum(new_sess).over(run).cast("long"))
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    width_sec: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """LOCF time-weighted average per (key, bucket) — the TimescaleDB
+    ``time_weight('LOCF')``/``average`` analogue for irregular samples,
+    where a plain ``avg`` over-weights burst periods.
+
+    Each point holds its value until the next point in the SAME bucket;
+    the last point extends to the bucket end.  No cross-bucket carry (a
+    bucket with no points emits nothing; the first point defines coverage
+    start), which keeps the operator a pure window+aggregate composition:
+
+        twa = sum(v_i * (next_ts_i - ts_i)) / (bucket_end - first_ts)
+
+    Duplicate timestamps get zero weight except the last per ``tiebreak``
+    order — pass a unique column for a deterministic result.
+
+    One exchange: the lead window partitions by (key, bucket) and the
+    groupBy reuses that clustering, so Catalyst plans Window + HashAggregate
+    over a single shuffle.  ``covered_sec`` (= bucket_end - first_ts) is
+    emitted so callers can gate on coverage."""
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    keep = [F.col(tiebreak)] if tiebreak else []
+    base = df.select(F.col(by), b.alias("bucket"), F.col(ts).alias("_t"),
+                     F.col(val).alias("_v"), *keep)
+    order = [F.col("_t")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by, "bucket").orderBy(*order)
+    bucket_end = F.col("bucket") + width_sec
+    nxt = F.coalesce(F.lead("_t").over(w), bucket_end)
+    weighted = base.withColumn("_wt", (nxt - F.col("_t")).cast("double"))
+    out = (
+        weighted.groupBy(by, "bucket")
+        .agg(
+            (F.sum(F.col("_v") * F.col("_wt"))
+             / F.sum("_wt")).alias("twa"),
+            F.sum("_wt").cast("long").alias("covered_sec"),
+            F.count("*").alias("n_points"),
+        )
+    )
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    window_sec: int = 3600,
+    k: float = 3.0,
+) -> DataFrame:
+    """Rolling-window z-score anomaly flags: for every point, mean and
+    population stddev over the trailing ``window_sec`` (RANGE frame — all
+    points with ts in [cur - window_sec, cur], duplicates included as a
+    group, so no tie-break is needed and the result is deterministic under
+    duplicate timestamps).  ``zscore`` is NULL when the window stddev is 0
+    (constant window / single point); ``is_anomaly`` treats NULL as false.
+
+    One exchange on the key; the RANGE window sorts once and both moments
+    share the frame.  At 100 TB this is the streaming-friendly shape —
+    state is the trailing window per key, never the whole series."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).cast("long"))
+        .rangeBetween(-window_sec, 0)
+    )
+    v = F.col(val).cast("double")
+    mean_w = F.avg(v).over(w)
+    std_w = F.stddev_pop(v).over(w)
+    z = F.when(std_w > 0, (v - mean_w) / std_w)
+    return (
+        df.withColumn("mean_w", mean_w)
+        .withColumn("std_w", std_w)
+        .withColumn("zscore", z)
+        .withColumn("is_anomaly", F.coalesce(F.abs(z) > k, F.lit(False)))
+    )
+
+
 def m4_downsample(
     df: DataFrame,
     by: str = "series_id",

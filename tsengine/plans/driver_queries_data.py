@@ -366,6 +366,52 @@ def q_m4_downsample(spark, sf_dir):
     )
 
 
+TWA_WIDTH = 3600
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """LOCF time-weighted average per (user, 1h bucket) over the irregular
+    events stream — the TimescaleDB time_weight analogue.  Oracle: the same
+    lead-window weight assignment + grouped ratio in DuckDB."""
+    from tsengine.operators.eventops import time_weighted_avg
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "ep", F.col("value").cast("double").alias("value"), "event_id"
+    )
+    out = time_weighted_avg(ev, by="user_id", ts="ep", val="value",
+                            width_sec=TWA_WIDTH, tiebreak="event_id")
+    return out.select(
+        "user_id", "bucket", F.round("twa", 6).alias("twa"),
+        "covered_sec", "n_points",
+    )
+
+
+Z_WINDOW = 3600
+Z_K = 3.0
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-1h rolling z-score per user (RANGE frame, duplicate-ts
+    deterministic); anomaly flag recomputed from the 6dp-rounded score in
+    BOTH engines so the boundary comparison is hash-stable."""
+    from tsengine.operators.eventops import rolling_zscore
+
+    ev = _typed_events(spark, sf_dir).select(
+        "event_id", "user_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = rolling_zscore(ev, by="user_id", ts="ep", val="value",
+                         window_sec=Z_WINDOW, k=Z_K)
+    # NULL z (zero-variance window) -> 0.0 in the driver projection only:
+    # nullable doubles round-trip as NaN through the comparator's pandas
+    # fetch, so the hashable plane must be non-null.  Operator NULL
+    # semantics are pinned by tests/test_eventops.py.
+    zr = F.coalesce(F.round("zscore", 6), F.lit(0.0))
+    return out.select(
+        "event_id", "user_id", "ep", zr.alias("zscore"),
+        (F.abs(zr) > Z_K).alias("is_anomaly"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -766,6 +812,42 @@ SELECT s.user_id, s.bucket, s.ts_first,
 FROM s
 """
 
+ORACLE["q_time_weighted_avg"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v,
+         ({TWA_WIDTH} * (CAST(floor(epoch(ts)) AS BIGINT) // {TWA_WIDTH}))::BIGINT AS bucket
+  FROM events),
+w AS (
+  SELECT user_id, bucket, v,
+         (COALESCE(lead(ep) OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ep, event_id),
+                   bucket + {TWA_WIDTH}) - ep)::DOUBLE AS wt
+  FROM e)
+SELECT user_id, bucket,
+       round(sum(v * wt) / sum(wt), 6) AS twa,
+       CAST(sum(wt) AS BIGINT) AS covered_sec,
+       count(*) AS n_points
+FROM w GROUP BY 1, 2
+"""
+
+ORACLE["q_rolling_zscore"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v FROM events),
+z AS (
+  SELECT event_id, user_id, ep,
+         round(CASE WHEN stddev_pop(v) OVER w > 0
+               THEN (v - avg(v) OVER w) / stddev_pop(v) OVER w END, 6) AS zscore
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep
+               RANGE BETWEEN {Z_WINDOW} PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ep,
+       COALESCE(zscore, 0.0) AS zscore,
+       abs(COALESCE(zscore, 0.0)) > {Z_K} AS is_anomaly
+FROM z
+"""
+
 ORACLE["q_compress_roundtrip"] = (
     "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
     "round(value, 6) AS value FROM events"
@@ -982,6 +1064,8 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_sessionize": q_sessionize,
     "q_m4_downsample": q_m4_downsample,
+    "q_time_weighted_avg": q_time_weighted_avg,
+    "q_rolling_zscore": q_rolling_zscore,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
