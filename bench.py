@@ -105,6 +105,12 @@ def main():
     # a real executor's NVMe would not; tmpfs shuffle dirs are opt-in in
     # get_spark and the bench opts in (library sessions stay on disk)
     os.environ.setdefault("TSENGINE_TMPFS_SHUFFLE", "1")
+    # Fault the whole heap at JVM start (outside every timed region): this
+    # VM's lazily-committed memory makes first-touch faults ~100x, so an
+    # un-pretouched session pays them inside whichever query allocates
+    # first — measured as a 78s -> 21s -> 3.2s warm-up ramp on the tier
+    # loop alone (BENCH/BASELINE.md substrate section).
+    os.environ.setdefault("TSENGINE_PRETOUCH", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -132,6 +138,8 @@ def main():
 
     # best-of-2 per query: the sandbox host has multi-minute CPU-steal
     # bursts (see BENCH/BASELINE.md); noise is strictly additive.
+    from tsengine.session import release_persistent_rdds
+
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
@@ -140,6 +148,9 @@ def main():
             _run_noop(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # phase hygiene (untimed): a query that leaks pinned blocks
+            # (cache/localCheckpoint) must not tax its successors
+            release_persistent_rdds(spark)
 
     # ---- north metric: tier rollup throughput on synthetic transcripts ----
     from tsengine.operators import rollup as R
@@ -176,7 +187,10 @@ def main():
     tier_sec = None
     tier_secs: dict[str, float] = {}  # per-retention-tier build time (north metric)
     tier_rows: dict[str, int] = {}
-    for it in range(3):  # best-of-3: multi-second host-steal bursts are common
+    # iteration -1 is an untimed warm-up (JIT + shuffle-buffer faults land
+    # there, not in the best-of-3); best-of-3 because multi-second
+    # host-steal bursts are common
+    for it in range(-1, 3):
         t0 = time.perf_counter()
         turns = R.with_latency(raw.coalesce(16))
         tiers = R.build_all_tiers(
@@ -188,15 +202,16 @@ def main():
             now = time.perf_counter()
             # the 1m sink pays raw->1m; 1h pays (cached 1m)->1h; 1d pays
             # (cached 1h)->1d — so each delta is that tier's own build cost
-            tier_secs[name] = min(tier_secs.get(name, 1e18), now - t_prev)
+            if it >= 0:
+                tier_secs[name] = min(tier_secs.get(name, 1e18), now - t_prev)
             t_prev = now
         dt = time.perf_counter() - t0
         if it == 0:  # cached-tier counts, outside the timed region
             for name in ("1m", "1h", "1d"):
                 tier_rows[name] = tiers[name].count()
-        for name in ("1m", "1h"):
-            tiers[name].unpersist()
-        tier_sec = dt if tier_sec is None else min(tier_sec, dt)
+        release_persistent_rdds(spark)  # drops all three cached tiers
+        if it >= 0:
+            tier_sec = dt if tier_sec is None else min(tier_sec, dt)
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     timings["tier_pipeline_raw_1m_1h_1d"] = round(tier_sec, 3)
     # points/sec PER retention tier (input points consumed by that stage /

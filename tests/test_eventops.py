@@ -100,3 +100,149 @@ def test_m4_single_exchange_plan(spark):
     # one hash-aggregate pair around one exchange; no sort, no window
     assert plan.count("Exchange") <= 2  # final AQE read + shuffle
     assert "Window" not in plan
+
+
+def test_bucket_percentiles_hand_computed(spark):
+    from tsengine.operators.eventops import bucket_percentiles
+
+    rows = [
+        # bucket 0: values 1,2,3,4 -> type-7 linear interpolation
+        ("s", 0, 1.0), ("s", 1, 2.0), ("s", 2, 3.0), ("s", 3, 4.0),
+        # bucket 100: single point -> every percentile equals it, iqr 0
+        ("s", 150, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ep long, value double")
+    out = {r["bucket"]: r for r in
+           bucket_percentiles(df, width_sec=100,
+                              ps=(0.25, 0.5, 0.75, 0.95, 0.99)).collect()}
+    b0 = out[0]
+    assert abs(b0["p25"] - 1.75) < 1e-12
+    assert abs(b0["p50"] - 2.5) < 1e-12
+    assert abs(b0["p75"] - 3.25) < 1e-12
+    assert abs(b0["p95"] - 3.85) < 1e-12
+    assert abs(b0["p99"] - 3.97) < 1e-12
+    assert abs(b0["iqr"] - 1.5) < 1e-12
+    assert b0["n_points"] == 4
+    b1 = out[100]
+    assert b1["p25"] == b1["p99"] == 7.0 and b1["iqr"] == 0.0
+
+
+def test_bucket_corr_hand_computed(spark):
+    from tsengine.operators.eventops import bucket_corr
+
+    rows = [
+        # perfect positive trend
+        ("a", 0, 0.0, 0.0), ("a", 0, 1.0, 2.0), ("a", 0, 2.0, 4.0),
+        # perfect negative trend (second bucket)
+        ("a", 100, 0.0, 4.0), ("a", 100, 1.0, 2.0), ("a", 100, 2.0, 0.0),
+        # zero variance in y -> NULL
+        ("b", 0, 0.0, 5.0), ("b", 0, 1.0, 5.0),
+        # single point -> NULL
+        ("c", 0, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ep long, x double, value double")
+    out = {(r["series_id"], r["bucket"]): r for r in
+           bucket_corr(df, x="x", width_sec=100).collect()}
+    assert abs(out[("a", 0)]["r"] - 1.0) < 1e-12
+    assert abs(out[("a", 100)]["r"] + 1.0) < 1e-12
+    assert out[("b", 0)]["r"] is None
+    assert out[("c", 0)]["r"] is None
+
+
+def test_percentiles_single_aggregate_plan(spark):
+    from tsengine.operators.eventops import bucket_percentiles
+
+    df = spark.createDataFrame([("s", 0, 1.0)],
+                               "series_id string, ep long, value double")
+    plan = (
+        bucket_percentiles(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # percentile is a single ObjectHashAggregate pair over one exchange;
+    # no global sort, no window
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan
+
+
+def _lttb_reference(pts, n_out):
+    """Independent scalar-python LTTB (Steinarsson 2013, floor buckets)."""
+    n = len(pts)
+    if n <= n_out:
+        return list(pts)
+    t = [p[0] for p in pts]
+    v = [p[1] for p in pts]
+    nb = n_out - 2
+    edges = [1 + (k * (n - 2)) // nb for k in range(nb + 1)]
+    sel = [0]
+    prev = 0
+    for k in range(nb):
+        lo, hi = edges[k], edges[k + 1]
+        if k + 1 < nb:
+            nlo, nhi = edges[k + 1], edges[k + 2]
+            cx = sum(t[nlo:nhi]) / (nhi - nlo)
+            cy = sum(v[nlo:nhi]) / (nhi - nlo)
+        else:
+            cx, cy = t[n - 1], v[n - 1]
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((t[prev] - cx) * (v[i] - v[prev])
+                       - (t[prev] - t[i]) * (cy - v[prev]))
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+        prev = best
+    sel.append(n - 1)
+    return [pts[i] for i in sel]
+
+
+def test_lttb_vs_reference(spark):
+    import random
+
+    from tsengine.operators.eventops import lttb_downsample
+
+    rng = random.Random(7)
+    pts = [(float(i * 10 + rng.randint(0, 3)), rng.uniform(-5, 5))
+           for i in range(200)]
+    df = spark.createDataFrame([("s", t, v) for t, v in pts],
+                               "series_id string, ep double, value double")
+    out = sorted((r["ep"], r["value"]) for r in
+                 lttb_downsample(df, n_out=20).collect())
+    exp = sorted(_lttb_reference(pts, 20))
+    assert out == exp
+    assert len(out) == 20
+
+
+def test_lttb_passthrough_and_endpoints(spark):
+    from tsengine.operators.eventops import lttb_downsample
+
+    pts = [(float(i), float(i % 5)) for i in range(10)]
+    df = spark.createDataFrame([("s", t, v) for t, v in pts],
+                               "series_id string, ep double, value double")
+    # n <= n_out: unchanged
+    out = sorted((r["ep"], r["value"]) for r in
+                 lttb_downsample(df, n_out=10).collect())
+    assert out == pts
+    # endpoints always kept
+    out5 = sorted((r["ep"], r["value"]) for r in
+                  lttb_downsample(df, n_out=5).collect())
+    assert out5[0] == pts[0] and out5[-1] == pts[-1] and len(out5) == 5
+
+
+def test_ewma_vs_hand_recursion(spark):
+    from tsengine.operators.eventops import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    a = 0.3
+    exp = [vals[0]]
+    for x in vals[1:]:
+        exp.append(a * x + (1 - a) * exp[-1])
+    rows = [("s", i, v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows,
+                               "series_id string, ep long, value double, event_id long")
+    out = [r["ewma"] for r in
+           ewma(df, alpha=a, tiebreak="event_id").orderBy("ep").collect()]
+    assert all(abs(o - e) < 1e-12 for o, e in zip(out, exp))
+    # pandas parity (adjust=False semantics)
+    import pandas as pd
+    pd_exp = pd.Series(vals).ewm(alpha=a, adjust=False).mean().tolist()
+    assert all(abs(o - e) < 1e-9 for o, e in zip(out, pd_exp))

@@ -72,6 +72,19 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr.union(own).distinct()
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Release the blocks a ``localCheckpoint(eager=True)`` pinned.
+
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping the
+    persisted internal RDD; ``DataFrame.unpersist`` does not reach it (it
+    only consults the cache manager).  Best-effort: failure just means the
+    blocks live until the session ends, which was the old behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -100,7 +113,13 @@ def connected_components(
     prev_fp = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # the new checkpoint is materialized (eager), so the previous
+        # round's pinned blocks are dead weight — release them, or every
+        # round of every call stays in executor storage for the session's
+        # lifetime (measured: a bench session degrades 4x by tier time)
+        _unpersist_local_checkpoint(prev_e)
         fp = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("x"),

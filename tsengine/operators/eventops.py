@@ -1,6 +1,7 @@
-"""Event-stream analytics operators: gap-based sessionization and M4
-visual downsampling.  Both pure window/aggregate compositions — one keyed
-shuffle each, deterministic under duplicate timestamps, no UDFs.
+"""Event-stream analytics operators: gap-based sessionization, M4 visual
+downsampling, exact percentile planes, and per-bucket trend correlation.
+All pure window/aggregate compositions — one keyed shuffle each,
+deterministic under duplicate timestamps, no UDFs.
 
 - Sessionization: the standard clickstream/telemetry primitive Spark SQL
   has no operator for (``session_window`` exists only in Structured
@@ -130,6 +131,81 @@ def rolling_zscore(
     )
 
 
+def bucket_percentiles(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    width_sec: int = 3600,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Exact latency-SLO percentile plane per (key, bucket): linear-
+    interpolated percentiles (``F.percentile`` — exact, sort-based, JVM)
+    plus the IQR when both quartiles are requested.  The per-bucket group
+    is the unit a tier rollup emits, so group cardinality is bounded by
+    bucket width — exact sort-based percentiles stay cheap at 100 TB
+    because the sort is per-group inside one hash aggregate, never a
+    global sort.  One shuffle on (key, bucket).
+
+    Column names: ``p25, p50, ...`` (``0.95 -> p95``, ``0.999 -> p99_9``).
+    """
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    v = F.col(val).cast("double")
+    base = df.select(F.col(by), b.alias("bucket"), v.alias("_v"))
+    pcts = F.percentile(F.col("_v"), F.array(*[F.lit(p) for p in ps]))
+    agg = base.groupBy(by, "bucket").agg(
+        pcts.alias("_p"), F.count("*").alias("n_points")
+    )
+
+    def pname(p: float) -> str:
+        s = ("%g" % (100 * p)).replace(".", "_")
+        return f"p{s}"
+
+    cols = [F.col("_p")[i].alias(pname(p)) for i, p in enumerate(ps)]
+    out = agg.select(by, "bucket", *cols, "n_points")
+    if 0.25 in ps and 0.75 in ps:
+        out = out.withColumn("iqr", F.col(pname(0.75)) - F.col(pname(0.25)))
+    return out
+
+
+def bucket_corr(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    x: str = "ep",
+    y: str = "value",
+    width_sec: int = 86400,
+) -> DataFrame:
+    """Pearson correlation between two planes per (key, bucket) — with
+    ``x=ts`` this is the cheap within-bucket trend detector (is the metric
+    drifting over the day?); with ``x`` = another measure it's a
+    co-movement screen.  ``r`` is NULL when either plane has zero variance
+    or fewer than 2 points (callers decide the neutral value).  Single
+    codegen hash aggregate — covar/stddev are one-pass (co)moment
+    accumulation, so it map-side combines and the shuffle carries 5
+    doubles per group.  Assembled as try_divide(covar_samp, sx*sy) rather
+    than ``F.corr`` because under ANSI mode (Spark 4 default) corr raises
+    DIVIDE_BY_ZERO on a zero-variance group instead of returning NULL."""
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    base = df.select(
+        F.col(by),
+        b.alias("bucket"),
+        F.col(x).cast("double").alias("_x"),
+        F.col(y).cast("double").alias("_y"),
+    )
+    agg = base.groupBy(by, "bucket").agg(
+        F.covar_samp("_x", "_y").alias("_cv"),
+        F.stddev_samp("_x").alias("_sx"),
+        F.stddev_samp("_y").alias("_sy"),
+        F.count("*").alias("n_points"),
+    )
+    r = F.when(
+        (F.col("_sx") > 0) & (F.col("_sy") > 0),
+        F.try_divide(F.col("_cv"), F.col("_sx") * F.col("_sy")),
+    )
+    return agg.select(by, "bucket", r.alias("r"), "n_points")
+
+
 def m4_downsample(
     df: DataFrame,
     by: str = "series_id",
@@ -169,3 +245,105 @@ def m4_downsample(
         F.col("_mx._v").alias("v_max"),
         "n_points",
     )
+
+
+def ewma(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    alpha: float = 0.3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``ewma_0 = x_0; ewma_i = alpha*x_i + (1-alpha)*ewma_{i-1}`` (pandas
+    ``ewm(alpha, adjust=False)`` semantics).  Inherently sequential per
+    series, so this is the documented applyInPandas shape: one shuffle on
+    the key, then a vectorized in-memory recursion per group (numpy
+    lfilter-style loop over the group, not per-row Python at the Spark
+    row level).  At 100 TB the group is one conversation/device series —
+    bounded — and the shuffle is the same key exchange every other
+    per-series operator pays.
+
+    ``tiebreak`` orders duplicate timestamps deterministically.  Output:
+    input columns + ``ewma``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    # fresh StructType: StructType.add MUTATES (and df.schema is cached on
+    # the DataFrame), so deriving the output schema in place corrupts the
+    # input's resolved schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[val].astype("float64").to_numpy()
+        e = x.copy()
+        a = float(alpha)
+        # identical op order to the SQL-recursion oracle: a*x + (1-a)*prev
+        for i in range(1, len(e)):
+            e[i] = a * x[i] + (1.0 - a) * e[i - 1]
+        pdf = pdf.assign(ewma=e)
+        return pdf
+
+    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    n_out: int = 100,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample (Steinarsson 2013): keep
+    the first and last point; partition the interior into ``n_out - 2``
+    equal-count buckets; in each bucket keep the point maximizing the
+    triangle area with the previously selected point and the NEXT bucket's
+    centroid.  The selection is sequential (each pick feeds the next
+    triangle), so like ``ewma`` this is a per-series applyInPandas — the
+    inner loop runs once per OUTPUT bucket with a vectorized argmax over
+    the bucket's points, never per input row.
+
+    Series with <= n_out points pass through unchanged.  Output columns:
+    (by, ts, val) of the selected points only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts], kind="mergesort")
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[by, ts, val]]
+        t = pdf[ts].astype("float64").to_numpy()
+        v = pdf[val].astype("float64").to_numpy()
+        # bucket k covers interior indices [edges[k], edges[k+1]) — the
+        # canonical floor split (Steinarsson's reference implementation)
+        edges = (1 + np.floor(
+            np.arange(n_out - 1, dtype="float64") * (n - 2) / (n_out - 2)
+        )).astype("int64")
+        sel = np.empty(n_out, dtype="int64")
+        sel[0], sel[-1] = 0, n - 1
+        prev = 0
+        for k in range(n_out - 2):
+            lo, hi = edges[k], edges[k + 1]
+            if k + 1 < n_out - 2:
+                nlo, nhi = edges[k + 1], edges[k + 2]
+                cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            else:
+                cx, cy = t[n - 1], v[n - 1]
+            area = np.abs(
+                (t[prev] - cx) * (v[lo:hi] - v[prev])
+                - (t[prev] - t[lo:hi]) * (cy - v[prev])
+            )
+            prev = lo + int(np.argmax(area))
+            sel[k + 1] = prev
+        return pdf.iloc[sel][[by, ts, val]]
+
+    base = df.select(by, ts, val)
+    return base.groupBy(by).applyInPandas(_per_key, schema=base.schema)

@@ -412,6 +412,77 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
+PCT_WIDTH = 21600
+PCT_PS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def q_latency_percentiles(spark, sf_dir):
+    """Exact SLO percentile plane per (user, 6h bucket): linear-interpolated
+    p25/p50/p75/p95/p99 + IQR over the value series — Spark's exact
+    ``percentile`` (per-group sort inside one hash aggregate) vs DuckDB's
+    ``quantile_cont``, two independent implementations of the same
+    type-7 interpolation."""
+    from tsengine.operators.eventops import bucket_percentiles
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = bucket_percentiles(ev, by="user_id", ts="ep", val="value",
+                             width_sec=PCT_WIDTH, ps=PCT_PS)
+    r6 = lambda c: F.round(c, 6).alias(c)  # noqa: E731
+    return out.select(
+        "user_id", "bucket", r6("p25"), r6("p50"), r6("p75"),
+        r6("p95"), r6("p99"), r6("iqr"), "n_points",
+    )
+
+
+CORR_WIDTH = 86400
+
+
+def q_trend_corr(spark, sf_dir):
+    """Within-day trend detector: Pearson r between time-of-day and value
+    per (user, day).  The x plane is re-based to the bucket start
+    (correlation is translation-invariant) so the co-moment accumulation
+    is well-conditioned in BOTH engines — correlating raw ~1.7e9 epochs
+    would put the numerics at the mercy of catastrophic cancellation.
+    NULL r (zero variance / n<2) -> 0.0 in the hashable projection only."""
+    from tsengine.operators.eventops import bucket_corr
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    day = (F.floor(F.col("ep") / CORR_WIDTH) * CORR_WIDTH).cast("long")
+    ev = ev.withColumn("dx", (F.col("ep") - day).cast("double"))
+    out = bucket_corr(ev, by="user_id", ts="ep", x="dx", y="value",
+                      width_sec=CORR_WIDTH)
+    return out.select(
+        "user_id", "bucket",
+        F.coalesce(F.round("r", 6), F.lit(0.0)).alias("r"),
+        "n_points",
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per user (adjust=False
+    recursion) — the inherently-sequential per-series operator, run as a
+    vectorized applyInPandas kernel.  Oracle: a DuckDB RECURSIVE CTE
+    computing the identical recursion ``0.3*x + 0.7*prev`` — an
+    independent engine executing the same defining equation."""
+    from tsengine.operators.eventops import ewma
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "event_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = ewma(ev, by="user_id", ts="ep", val="value",
+               alpha=EWMA_ALPHA, tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "ep", F.round("ewma", 6).alias("ewma")
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -848,6 +919,54 @@ SELECT event_id, user_id, ep,
 FROM z
 """
 
+ORACLE["q_latency_percentiles"] = f"""
+WITH e AS (
+  SELECT user_id, value::DOUBLE AS v,
+         ({PCT_WIDTH} * (CAST(floor(epoch(ts)) AS BIGINT) // {PCT_WIDTH}))::BIGINT AS bucket
+  FROM events),
+q AS (
+  SELECT user_id, bucket,
+         quantile_cont(v, [0.25, 0.5, 0.75, 0.95, 0.99]) AS qs,
+         count(*) AS n_points
+  FROM e GROUP BY 1, 2)
+SELECT user_id, bucket,
+       round(qs[1], 6) AS p25, round(qs[2], 6) AS p50, round(qs[3], 6) AS p75,
+       round(qs[4], 6) AS p95, round(qs[5], 6) AS p99,
+       round(qs[3] - qs[1], 6) AS iqr, n_points
+FROM q
+"""
+
+ORACLE["q_trend_corr"] = f"""
+WITH e AS (
+  SELECT user_id,
+         ({CORR_WIDTH} * (CAST(floor(epoch(ts)) AS BIGINT) // {CORR_WIDTH}))::BIGINT AS bucket,
+         (CAST(floor(epoch(ts)) AS BIGINT) % {CORR_WIDTH})::DOUBLE AS dx,
+         value::DOUBLE AS v
+  FROM events)
+SELECT user_id, bucket,
+       COALESCE(round(CASE WHEN stddev_samp(dx) > 0 AND stddev_samp(v) > 0
+                 THEN covar_samp(dx, v) / (stddev_samp(dx) * stddev_samp(v))
+                 END, 6), 0.0) AS r,
+       count(*) AS n_points
+FROM e GROUP BY 1, 2
+"""
+
+ORACLE["q_ewma"] = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, ep, rn, v AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ep, b.rn,
+         {EWMA_ALPHA} * b.v + (1.0 - {EWMA_ALPHA}) * r.ewma
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT user_id, event_id, ep, round(ewma, 6) AS ewma FROM rec
+"""
+
 ORACLE["q_compress_roundtrip"] = (
     "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
     "round(value, 6) AS value FROM events"
@@ -1066,6 +1185,9 @@ QUERIES = {
     "q_m4_downsample": q_m4_downsample,
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_rolling_zscore": q_rolling_zscore,
+    "q_latency_percentiles": q_latency_percentiles,
+    "q_trend_corr": q_trend_corr,
+    "q_ewma": q_ewma,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,

@@ -78,3 +78,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_persistent_rdds(spark) -> int:
+    """Unpersist every RDD still registered with the context (cached
+    DataFrames AND localCheckpoint blocks, which ``catalog.clearCache``
+    never reaches) and clear the SQL cache.  Returns the number released.
+
+    Benchmark/pipeline hygiene between independent phases: leaked pinned
+    blocks otherwise squeeze execution memory for the rest of the session
+    (a leaked localCheckpoint per components round degraded the bench's
+    tier phase 4x).  Never call it mid-query — a consumer of a persisted
+    plan would silently recompute."""
+    jsc = spark.sparkContext._jsc
+    n = 0
+    it = jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
+        n += 1
+    spark.catalog.clearCache()
+    return n
