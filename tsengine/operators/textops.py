@@ -343,3 +343,49 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
             F.slice(toks, off + 1, m), zipped, lambda a, b: F.concat_ws(" ", a, b)
         )
     return F.array_distinct(zipped)
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination screen: fraction of each corpus document's
+    distinct k-gram shingles that appear in a benchmark/eval set — the
+    standard guard against training on test data.
+
+    ``bench`` is the eval corpus (small by definition); its distinct
+    shingle set is broadcast, so the big side is ONE pass: explode raw
+    shingles (no distinct on the 100-TB side), broadcast-hash left join for
+    the hit flag, dedup per (doc, shingle) in a map-side-combining hash
+    aggregate, then count per doc.  No big-side self-join, no sort.
+
+    Emits one row per document that has >= 1 shingle (short texts below k
+    tokens have no shingles and are trivially clean): ``n_shingles``
+    (distinct), ``n_overlap``, ``contam_frac`` (6dp-quantized), and the
+    ``contaminated`` flag at ``threshold``.
+    """
+    bs = (
+        shingle_rows(bench, text_col, k, id_col)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cs = shingle_rows_raw(docs, text_col, k, id_col)
+    hit = cs.join(F.broadcast(bs), "s", "left")
+    per_sh = hit.groupBy(id_col, "s").agg(F.max("_hit").alias("_h"))
+    out = per_sh.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("n_overlap"),
+    )
+    frac = _q6(F.col("n_overlap") / F.col("n_shingles"))
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        frac.alias("contam_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )

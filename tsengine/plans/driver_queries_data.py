@@ -462,6 +462,49 @@ def q_trend_corr(spark, sf_dir):
     )
 
 
+MIX_RATES = {"en": 0.5, "zh": 0.9, "de": 0.25}
+MIX_DEFAULT = 0.1
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+CONTAM_MOD = 50
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic mixture sampling: per-language keep rates over a
+    md5-derived 60-bit draw — the exact kept subset is reproduced by the
+    DuckDB oracle from the same expression, proving the sample is a pure
+    function of (key, salt), not of partitioning or RNG state."""
+    from tsengine.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, key_col="doc_id", class_col="lang",
+                            rates=MIX_RATES, default_rate=MIX_DEFAULT,
+                            salt="mix1")
+    return out.select("doc_id", "lang")
+
+
+def q_hash_split(spark, sf_dir):
+    """Leakage-free train/val/test assignment audit: per (split, lang)
+    row counts under cumulative hash thresholds."""
+    from tsengine.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, key_col="doc_id", fracs=SPLIT_FRACS, salt="split")
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination screen: every doc's distinct 3-gram
+    shingle overlap with a deterministic eval subset (doc_id % 50 == 0).
+    The eval docs themselves must come back contam_frac = 1.0."""
+    from tsengine.operators.textops import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+    out = contamination_check(docs, bench, k=3, threshold=0.5)
+    return out.select("doc_id", "n_shingles", "n_overlap",
+                      "contam_frac", "contaminated")
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -951,6 +994,48 @@ SELECT user_id, bucket,
 FROM e GROUP BY 1, 2
 """
 
+_H60_DOC = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT)"
+_HSPACE = 16**15
+
+
+def _thr(rate: float) -> int:
+    return int(rate * _HSPACE)
+
+
+ORACLE["q_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H60_DOC.format(salt='mix1')} <
+  CASE lang WHEN 'en' THEN {_thr(MIX_RATES['en'])}
+            WHEN 'zh' THEN {_thr(MIX_RATES['zh'])}
+            WHEN 'de' THEN {_thr(MIX_RATES['de'])}
+            ELSE {_thr(MIX_DEFAULT)} END
+"""
+
+ORACLE["q_hash_split"] = f"""
+WITH s AS (
+  SELECT lang,
+    CASE WHEN {_H60_DOC.format(salt='split')} < {_thr(0.8)} THEN 'train'
+         WHEN {_H60_DOC.format(salt='split')} < {_thr(0.9)} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2
+"""
+
+ORACLE["q_contamination"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_MOD} = 0),
+j AS (SELECT sh.doc_id, (bs.s IS NOT NULL)::INT AS h
+      FROM sh LEFT JOIN bs ON sh.s = bs.s),
+o AS (SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(h) AS BIGINT) AS n_overlap
+      FROM j GROUP BY 1)
+SELECT doc_id, n_shingles, n_overlap,
+       floor(n_overlap::DOUBLE / n_shingles * 1000000.0 + 0.5) / 1000000.0 AS contam_frac,
+       (floor(n_overlap::DOUBLE / n_shingles * 1000000.0 + 0.5) / 1000000.0) >= 0.5 AS contaminated
+FROM o
+"""
+
 ORACLE["q_ewma"] = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -1188,6 +1273,9 @@ QUERIES = {
     "q_latency_percentiles": q_latency_percentiles,
     "q_trend_corr": q_trend_corr,
     "q_ewma": q_ewma,
+    "q_stratified_sample": q_stratified_sample,
+    "q_hash_split": q_hash_split,
+    "q_contamination": q_contamination,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
