@@ -246,3 +246,32 @@ def test_ewma_vs_hand_recursion(spark):
     import pandas as pd
     pd_exp = pd.Series(vals).ewm(alpha=a, adjust=False).mean().tolist()
     assert all(abs(o - e) < 1e-9 for o, e in zip(out, pd_exp))
+
+
+def test_percentiles_approx_vs_exact(spark):
+    from tsengine.operators.eventops import bucket_percentiles, percentiles_approx
+
+    # deterministic skewed data: 10k values, two series
+    df = spark.range(10_000).selectExpr(
+        "cast(id % 2 as string) as series_id",
+        "cast(id as long) as ep",
+        "cast(pmod(id * 2654435761, 10000) as double) as value",
+    )
+    exact = bucket_percentiles(df, width_sec=1 << 62, ps=(0.5, 0.95, 0.99)).collect()
+    approx = {r["series_id"]: r for r in
+              percentiles_approx(df, by="series_id", accuracy=10000).collect()}
+    for r in exact:
+        a = approx[r["series_id"]]
+        for c in ("p50", "p95", "p99"):
+            # rank error <= n/accuracy = 0.5 ranks -> value error tiny on
+            # a dense 0..9999 grid; allow a loose 1% of the value range
+            assert abs(a[c] - r[c]) <= 100.0, (c, a[c], r[c])
+        assert a["n_points"] == r["n_points"]
+    # global (no key): one row, no Exchange into a single sorted task
+    g = percentiles_approx(df, by=None).collect()
+    assert len(g) == 1 and g[0]["n_points"] == 10_000
+    plan = (
+        percentiles_approx(df, by=None)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Sort" not in plan

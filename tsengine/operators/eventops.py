@@ -347,3 +347,35 @@ def lttb_downsample(
 
     base = df.select(by, ts, val)
     return base.groupBy(by).applyInPandas(_per_key, schema=base.schema)
+
+
+def percentiles_approx(
+    df: DataFrame,
+    by: str | None = None,
+    val: str = "value",
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale-path percentiles: Spark's one-pass mergeable quantile sketch
+    (``percentile_approx``, Greenwald-Khanna) with error bounded by
+    1/accuracy of the rank.  This is the right tool where
+    :func:`bucket_percentiles`' exact per-group sort is not — GLOBAL
+    percentiles or groups with unbounded cardinality (a hot conversation's
+    whole history): the sketch is fixed-size per group, combines map-side,
+    and never materializes or sorts the group.  ``by=None`` emits a single
+    global row via a partial-aggregating two-stage plan (no single-task
+    sort).  Results are approximate, so nothing here is oracle-hashable —
+    accuracy is pinned by tests against the exact operator instead."""
+    v = F.col(val).cast("double")
+    pcts = F.percentile_approx(
+        v, F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+    )
+    grouped = df.groupBy(by) if by else df.groupBy()
+    agg = grouped.agg(pcts.alias("_p"), F.count("*").alias("n_points"))
+
+    def pname(p: float) -> str:
+        return "p" + ("%g" % (100 * p)).replace(".", "_")
+
+    cols = [F.col("_p")[i].alias(pname(p)) for i, p in enumerate(ps)]
+    keys = [by] if by else []
+    return agg.select(*keys, *cols, "n_points")
