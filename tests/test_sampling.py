@@ -128,3 +128,68 @@ def test_sampling_is_map_only_plan(spark):
         hash_split(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan2
+
+
+def _py_draw(key, salt=""):
+    """Independent python mirror of sampling.hash_draw."""
+    import hashlib
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:15], 16)
+
+
+def test_hash_draw_matches_python_md5(spark):
+    rows = _ids(spark, 50).select(
+        "doc_id", hash_draw(F.col("doc_id"), "s1").alias("h")).collect()
+    for r in rows:
+        assert r["h"] == _py_draw(r["doc_id"], "s1")
+
+
+def test_source_quota_hand_computed(spark):
+    from tsengine.operators.sampling import source_quota
+
+    rows = [(i, "a" if i < 8 else "b") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_quota(df, quota=3, salt="q").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    # class b (4 docs) capped at 3; class a (8 docs) capped at 3
+    assert len(by["a"]) == 3 and len(by["b"]) == 3
+    # survivors = lowest-draw keys per class (python md5 mirror)
+    exp_a = set(sorted(range(8), key=lambda k: (_py_draw(k, "q"), k))[:3])
+    exp_b = set(sorted(range(8, 12), key=lambda k: (_py_draw(k, "q"), k))[:3])
+    assert by["a"] == exp_a and by["b"] == exp_b
+    # under-quota classes untouched
+    assert source_quota(df, quota=100).count() == 12
+
+
+def test_pack_sequences_hand_computed(spark):
+    from tsengine.operators.sampling import pack_sequences
+
+    lens = {1: 4, 2: 10, 3: 7, 4: 25, 5: 1, 6: 0}
+    df = spark.createDataFrame(list(lens.items()), "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, max_len=10, shards=1, salt="p").collect()}
+    assert 6 not in out  # zero-length docs dropped
+    order = sorted([k for k in lens if lens[k] > 0],
+                   key=lambda k: (_py_draw(k, "p"), k))
+    cum = 0
+    for k in order:
+        r = out[k]
+        assert r["shard"] == 0
+        assert r["offset"] == cum, (k, r["offset"], cum)
+        assert r["seq_first"] == cum // 10
+        assert r["seq_last"] == (cum + lens[k] - 1) // 10
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        cum += lens[k]
+    # a 25-token doc at any offset spans >= 3 chunks of 10
+    assert out[4]["n_seqs"] >= 3
+
+
+def test_pack_sequences_single_exchange(spark):
+    from tsengine.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    plan = (
+        pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # one shard shuffle (+AQE read)

@@ -100,3 +100,78 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def source_quota(
+    df: DataFrame,
+    class_col: str = "source",
+    key_col: str = "doc_id",
+    quota: int = 100,
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap any single class (domain/source/dump) at ``quota`` rows — the
+    over-represented-domain guard.  WHICH rows survive is deterministic:
+    rank by the same md5 draw used everywhere here (tie-broken by key), so
+    the kept subset is stable across runs and cluster layouts, and a class
+    under its quota is untouched.  One window exchange on the class; at
+    100 TB the rank-within-class is the unavoidable shuffle, but the window
+    carries only (class, draw, key) — project wide columns after, not
+    through, the rank."""
+    from pyspark.sql import Window
+
+    h = hash_draw(F.col(key_col), salt)
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    max_len: int = 2048,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing plan: documents are laid
+    end-to-end in a deterministic order and cut into ``max_len``-token
+    training sequences; each doc learns where its tokens land.
+
+    The layout is per-shard (shard = md5 draw of the key mod ``shards``),
+    matching how packing actually runs at scale — one writer per shard, no
+    global order.  Within a shard docs are ordered by (draw, key) and the
+    running token offset is a window cumsum, so the whole plan is one
+    exchange on the shard key.  Emits per doc: ``shard``, ``offset`` (first
+    token's position in the shard's stream), ``seq_first``/``seq_last``
+    (chunk indices the doc spans) and ``n_seqs``.  Docs longer than
+    ``max_len`` simply span several sequences — nothing is dropped, which
+    keeps the plan a pure function (and lets the actual packer be a
+    downstream mapInPandas that materializes token buffers per shard)."""
+    from pyspark.sql import Window
+
+    h = hash_draw(F.col(key_col), salt)
+    base = df.select(
+        F.col(key_col),
+        F.col(len_col).cast("long").alias("_n"),
+        (h % shards).cast("int").alias("shard"),
+        h.alias("_h"),
+    ).where(F.col("_n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_n").over(w)
+    offset = (cum - F.col("_n")).alias("offset")
+    return base.select(
+        key_col,
+        "shard",
+        offset,
+        (F.floor((cum - F.col("_n")) / max_len)).cast("long").alias("seq_first"),
+        (F.floor((cum - 1) / max_len)).cast("long").alias("seq_last"),
+        (F.floor((cum - 1) / max_len) - F.floor((cum - F.col("_n")) / max_len) + 1
+         ).cast("long").alias("n_seqs"),
+    )

@@ -505,6 +505,37 @@ def q_contamination(spark, sf_dir):
                       "contam_frac", "contaminated")
 
 
+QUOTA_N = 10
+PACK_MAXLEN = 512
+PACK_SHARDS = 4
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source document cap (over-represented-domain guard): keep at
+    most 10 docs per source, ranked by the deterministic md5 draw — the
+    exact survivor set is reproduced by the DuckDB window oracle."""
+    from tsengine.operators.sampling import source_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_quota(docs, class_col="source", key_col="doc_id",
+                       quota=QUOTA_N, salt="quota")
+    return out.select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy concat-and-chunk sequence-packing plan: BPE-ish token counts
+    laid end-to-end per shard, cut into 512-token sequences; every doc's
+    (shard, offset, chunk span) value-checked against the DuckDB window
+    cumsum mirror."""
+    from tsengine.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, key_col="doc_id", len_col="n_tokens",
+                          max_len=PACK_MAXLEN, shards=PACK_SHARDS, salt="pack")
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -1036,6 +1067,36 @@ SELECT doc_id, n_shingles, n_overlap,
 FROM o
 """
 
+ORACLE["q_source_quota"] = f"""
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY {_H60_DOC.format(salt='quota')}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= {QUOTA_N}
+"""
+
+ORACLE["q_pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n,
+         {_H60_DOC.format(salt='pack')} AS h
+  FROM documents),
+b AS (SELECT doc_id, n, CAST(h % {PACK_SHARDS} AS INT) AS shard, h
+      FROM d WHERE n > 0),
+c AS (SELECT doc_id, shard, n,
+        -- window sum over BIGINT yields HUGEINT, which round-trips as a
+        -- float through the comparator's pandas fetch: pin BIGINT
+        CAST(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM b)
+SELECT doc_id, shard, (cum - n) AS offset,
+       (cum - n) // {PACK_MAXLEN} AS seq_first,
+       (cum - 1) // {PACK_MAXLEN} AS seq_last,
+       ((cum - 1) // {PACK_MAXLEN} - (cum - n) // {PACK_MAXLEN} + 1) AS n_seqs
+FROM c
+"""
+
 ORACLE["q_ewma"] = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -1276,6 +1337,8 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
+    "q_source_quota": q_source_quota,
+    "q_pack_sequences": q_pack_sequences,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
