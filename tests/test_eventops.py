@@ -275,3 +275,26 @@ def test_percentiles_approx_vs_exact(spark):
         .executedPlan().toString()
     )
     assert "Sort" not in plan
+
+
+def test_cusum_hand_computed(spark):
+    from tsengine.operators.eventops import cusum
+
+    # target 10, k 1 -> up ref 11, lo ref 9
+    vals = [10.0, 13.0, 14.0, 8.0, 5.0, 5.0, 20.0]
+    rows = [("s", i, v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows,
+                               "series_id string, ep long, value double, event_id long")
+    out = [r for r in cusum(df, target=10.0, k=1.0, h=5.0,
+                            tiebreak="event_id").orderBy("ep").collect()]
+    sh = sl = 0.0
+    for r, x in zip(out, vals):
+        sh = max(0.0, sh + (x - 11.0))
+        sl = max(0.0, sl + (9.0 - x))
+        assert abs(r["cusum_hi"] - sh) < 1e-12
+        assert abs(r["cusum_lo"] - sl) < 1e-12
+        assert r["alarm"] == (sh > 5.0 or sl > 5.0)
+    # the sustained low stretch (8,5,5) must alarm on the low side
+    assert out[5]["alarm"] and out[5]["cusum_lo"] > 5.0
+    # recovery: the 20 resets the low sum to 0
+    assert out[6]["cusum_lo"] == 0.0

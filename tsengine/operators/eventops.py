@@ -379,3 +379,59 @@ def percentiles_approx(
     cols = [F.col("_p")[i].alias(pname(p)) for i, p in enumerate(ps)]
     keys = [by] if by else []
     return agg.select(*keys, *cols, "n_points")
+
+
+def cusum(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    target: float = 0.0,
+    k: float = 0.5,
+    h: float = 5.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Tabular CUSUM change-point detector (Page 1954): one-sided upper and
+    lower cumulative sums against a ``target`` level with slack ``k``,
+    alarming when either exceeds ``h``:
+
+        sh_i = max(0, sh_{i-1} + x_i - (target + k))
+        sl_i = max(0, sl_{i-1} + (target - k) - x_i)
+
+    Complements :func:`rolling_zscore`: z-scores flag outlier POINTS, CUSUM
+    accumulates small persistent drifts a windowed z never sees.  Like
+    :func:`ewma` the recursion is inherently sequential per series, so it's
+    the applyInPandas shape — one key shuffle, vectorized numpy loop per
+    group (the op order matches the SQL-recursion oracle exactly).  Output:
+    input columns + ``cusum_hi``, ``cusum_lo``, ``alarm``."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cusum_hi", DoubleType()),
+            StructField("cusum_lo", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    up, lo_ref = float(target + k), float(target - k)
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[val].astype("float64").to_numpy()
+        n = len(x)
+        sh = x.copy()
+        sl = x.copy()
+        ph = pl = 0.0
+        for i in range(n):
+            # identical op order to the recursive-CTE oracle
+            ph = max(0.0, ph + (x[i] - up))
+            pl = max(0.0, pl + (lo_ref - x[i]))
+            sh[i], sl[i] = ph, pl
+        return pdf.assign(
+            cusum_hi=sh, cusum_lo=sl, alarm=(sh > h) | (sl > h)
+        )
+
+    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)

@@ -557,6 +557,31 @@ def q_ewma(spark, sf_dir):
     )
 
 
+CUSUM_TARGET = 50.0
+CUSUM_K = 5.0
+CUSUM_H = 200.0
+
+
+def q_cusum(spark, sf_dir):
+    """CUSUM drift detection per user against a fixed target level —
+    sequential recursion via applyInPandas, value-checked against a DuckDB
+    RECURSIVE CTE carrying both one-sided sums."""
+    from tsengine.operators.eventops import cusum
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "event_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = cusum(ev, by="user_id", ts="ep", val="value",
+                target=CUSUM_TARGET, k=CUSUM_K, h=CUSUM_H,
+                tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "ep",
+        F.round("cusum_hi", 6).alias("cusum_hi"),
+        F.round("cusum_lo", 6).alias("cusum_lo"),
+        "alarm",
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -1067,6 +1092,29 @@ SELECT doc_id, n_shingles, n_overlap,
 FROM o
 """
 
+ORACLE["q_cusum"] = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, ep, rn,
+         greatest(0.0, 0.0 + (v - {CUSUM_TARGET + CUSUM_K})) AS sh,
+         greatest(0.0, 0.0 + ({CUSUM_TARGET - CUSUM_K} - v)) AS sl
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ep, b.rn,
+         greatest(0.0, r.sh + (b.v - {CUSUM_TARGET + CUSUM_K})),
+         greatest(0.0, r.sl + ({CUSUM_TARGET - CUSUM_K} - b.v))
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT user_id, event_id, ep,
+       round(sh, 6) AS cusum_hi, round(sl, 6) AS cusum_lo,
+       (sh > {CUSUM_H} OR sl > {CUSUM_H}) AS alarm
+FROM rec
+"""
+
 ORACLE["q_source_quota"] = f"""
 WITH r AS (
   SELECT doc_id, source,
@@ -1339,6 +1387,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_source_quota": q_source_quota,
     "q_pack_sequences": q_pack_sequences,
+    "q_cusum": q_cusum,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
