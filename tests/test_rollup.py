@@ -243,3 +243,53 @@ def test_incomplete_vocab_records_other_bucket(spark, small_transcripts):
         m_full.filter(F.element_at("role_dist", F.lit("__other__")).isNotNull()).count()
         == 0
     )
+
+
+def test_conversation_stats_hand_computed(spark):
+    import tsengine.operators.rollup as R
+
+    rows = [
+        # c1: strict alternation, one tool call, latencies 10 and 20
+        ("c1", 1, "user", "hi there", "", 100),
+        ("c1", 2, "assistant", "hello", "search", 110),
+        ("c1", 3, "user", "bye", "", 130),
+        # c2: single turn (no latency), no tools
+        ("c2", 1, "user", "solo", "", 500),
+        # c3: alternation violation (two assistant turns in a row)
+        ("c3", 1, "assistant", "a", "", 0),
+        ("c3", 2, "assistant", "b", "t", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                 "cast(e as timestamp) as ts")
+    out = {r["conv_id"]: r for r in R.conversation_stats(df).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 3 and c1["n_roles"] == 2
+    assert c1["duration_sec"] == 30 and c1["alternation_violations"] == 0
+    assert c1["lat_mean"] == 15.0 and c1["lat_max"] == 20
+    assert abs(c1["tool_frac"] - 0.333333) < 1e-9
+    assert c1["chars_total"] == len("hi there") + len("hello") + len("bye")
+    c2 = out["c2"]
+    assert c2["n_turns"] == 1 and c2["lat_mean"] == 0.0 and c2["lat_max"] == 0
+    assert c2["duration_sec"] == 0 and c2["tool_frac"] == 0.0
+    c3 = out["c3"]
+    assert c3["alternation_violations"] == 1 and c3["n_roles"] == 1
+    assert abs(c3["tool_frac"] - 0.5) < 1e-9
+
+
+def test_conversation_stats_single_exchange_plan(spark):
+    import tsengine.operators.rollup as R
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "x", "", 0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, e long",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                 "cast(e as timestamp) as ts")
+    plan = (
+        R.conversation_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # window partition key (conv_id) satisfies the groupBy clustering:
+    # one shuffle (+ final AQE read), no Expand from a distinct rewrite
+    assert plan.count("Exchange") <= 2
+    assert "Expand" not in plan

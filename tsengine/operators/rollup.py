@@ -372,3 +372,54 @@ def build_all_tiers(
         out["1h"] = out["1h"].persist()
     out["1d"] = reaggregate(out["1h"], "1d", role_vocab=role_vocab, tool_vocab=tool_vocab)
     return out
+
+
+def conversation_stats(
+    transcripts: DataFrame,
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation curation stats — the transcript-level quality gate
+    a training pipeline runs before rollups/sampling ever see the data:
+
+    - ``n_turns``, ``n_roles`` (distinct), ``duration_sec``
+    - ``alternation_violations``: consecutive same-role turns (by turn_idx
+      order) — a strict user/assistant dialogue has 0
+    - ``lat_mean``/``lat_max`` over the derived latency plane (integer
+      seconds; NULL-safe: single-turn conversations report 0)
+    - ``tool_frac``: fraction of turns carrying a tool call (6dp-quantized)
+    - ``chars_total``: total text payload
+
+    One window + one hash aggregate sharing the conv_id exchange (the
+    window's partition key satisfies the groupBy clustering), so at 100 TB
+    the cost is the one per-conversation shuffle every turn-ordered
+    derivation pays anyway.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        ep.alias("_ep"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_chars"),
+    )
+    same_role = (F.col("role") == F.lag("role").over(w)).cast("int")
+    lat = F.col("_ep") - F.lag("_ep").over(w)
+    t = t.withColumn("_same", F.coalesce(same_role, F.lit(0))).withColumn("_lat", lat)
+    has_tool = (F.coalesce(F.col("tool"), F.lit("")) != "").cast("int")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        # size(collect_set) not count_distinct: the distinct-aggregate
+        # rewrite would add an Expand + second exchange; the set is bounded
+        # by the role vocabulary so the buffer is tiny
+        F.size(F.collect_set("role")).cast("long").alias("n_roles"),
+        (F.max("_ep") - F.min("_ep")).alias("duration_sec"),
+        F.sum("_same").cast("long").alias("alternation_violations"),
+        q6(F.coalesce(F.avg("_lat"), F.lit(0.0))).alias("lat_mean"),
+        F.coalesce(F.max("_lat"), F.lit(0).cast("long")).alias("lat_max"),
+        q6(F.sum(has_tool) / F.count("*")).alias("tool_frac"),
+        F.sum("_chars").cast("long").alias("chars_total"),
+    )

@@ -557,6 +557,28 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation curation gate over the events-derived transcripts:
+    turn counts, role-alternation violations, latency plane, tool fraction,
+    text payload — every column value-checked against the DuckDB window
+    mirror."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import rollup as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("turn-"), F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("value") >= 50, "big").otherwise("").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return R.conversation_stats(t)
+
+
 CUSUM_TARGET = 50.0
 CUSUM_K = 5.0
 CUSUM_H = 200.0
@@ -1092,6 +1114,33 @@ SELECT doc_id, n_shingles, n_overlap,
 FROM o
 """
 
+ORACLE["q_conversation_stats"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         'turn-' || CAST(event_id AS VARCHAR) AS text,
+         CASE WHEN value >= 50 THEN 'big' ELSE '' END AS tool,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+d AS (
+  SELECT conv_id, role, tool, ep, length(text) AS chars,
+         CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS same_role,
+         ep - lag(ep) OVER w AS lat
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+  count(*) AS n_turns,
+  CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+  (max(ep) - min(ep)) AS duration_sec,
+  CAST(sum(same_role) AS BIGINT) AS alternation_violations,
+  floor(COALESCE(avg(lat), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS lat_mean,
+  COALESCE(max(lat), 0) AS lat_max,
+  floor((CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+        * 1000000.0 + 0.5) / 1000000.0 AS tool_frac,
+  CAST(sum(chars) AS BIGINT) AS chars_total
+FROM d GROUP BY 1
+"""
+
 ORACLE["q_cusum"] = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -1388,6 +1437,7 @@ QUERIES = {
     "q_source_quota": q_source_quota,
     "q_pack_sequences": q_pack_sequences,
     "q_cusum": q_cusum,
+    "q_conversation_stats": q_conversation_stats,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
