@@ -298,3 +298,19 @@ def test_cusum_hand_computed(spark):
     assert out[5]["alarm"] and out[5]["cusum_lo"] > 5.0
     # recovery: the 20 resets the low sum to 0
     assert out[6]["cusum_lo"] == 0.0
+
+
+def test_top_items_hand_computed(spark):
+    from tsengine.operators.eventops import top_items
+
+    rows = (
+        [("u", 0, "a")] * 3 + [("u", 0, "b")] * 3 + [("u", 0, "c")] * 1
+        + [("u", 100, "z")] * 2
+    )
+    df = spark.createDataFrame(rows, "series_id string, ep long, value string")
+    out = top_items(df, width_sec=100, k=2).collect()
+    got = {(r["bucket"], r["rank"]): (r["value"], r["n"]) for r in out}
+    # tie at n=3 between a and b -> item asc: a first
+    assert got[(0, 1)] == ("a", 3) and got[(0, 2)] == ("b", 3)
+    assert (0, 3) not in got  # c cut by k=2
+    assert got[(100, 1)] == ("z", 2)

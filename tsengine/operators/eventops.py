@@ -435,3 +435,36 @@ def cusum(
         )
 
     return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+
+
+def top_items(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    item: str = "value",
+    width_sec: int = 86400,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k heavy hitters per (key, bucket): the 'top tools per
+    day' report.  Counts per (key, bucket, item) combine map-side, then a
+    rank window over the tiny counted frame keeps the k most frequent —
+    ties broken by item value ascending (deterministic, oracle-hashable).
+    The rank window runs over post-aggregation rows (one per distinct
+    item), so its sort is bounded by item cardinality, never by event
+    volume.  Approximate alternatives (count-min) only matter when the
+    per-bucket item cardinality itself cannot be aggregated; at that point
+    fold the item into the bucket key and recurse."""
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    counted = (
+        df.select(F.col(by), b.alias("bucket"), F.col(item).alias("_it"))
+        .groupBy(by, "bucket", "_it")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(by, "bucket").orderBy(
+        F.col("n").desc(), F.col("_it").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(by, "bucket", F.col("_it").alias(item), "n", "rank")
+    )

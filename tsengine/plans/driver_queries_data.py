@@ -557,6 +557,21 @@ def q_ewma(spark, sf_dir):
     )
 
 
+TOPK_WIDTH = 86400
+TOPK_K = 3
+
+
+def q_top_events(spark, sf_dir):
+    """Exact top-3 event types per (user, day) with deterministic
+    (count desc, item asc) tie-break — DuckDB window mirror."""
+    from tsengine.operators.eventops import top_items
+
+    ev = _typed_events(spark, sf_dir)
+    return top_items(ev, by="user_id", ts="ep", item="event_type",
+                     width_sec=TOPK_WIDTH, k=TOPK_K).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+
 def q_conversation_stats(spark, sf_dir):
     """Per-conversation curation gate over the events-derived transcripts:
     turn counts, role-alternation violations, latency plane, tool fraction,
@@ -1114,6 +1129,21 @@ SELECT doc_id, n_shingles, n_overlap,
 FROM o
 """
 
+ORACLE["q_top_events"] = f"""
+WITH c AS (
+  SELECT user_id,
+         ({TOPK_WIDTH} * (CAST(floor(epoch(ts)) AS BIGINT) // {TOPK_WIDTH}))::BIGINT AS bucket,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+r AS (
+  SELECT user_id, bucket, event_type, n,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY n DESC, event_type ASC) AS rank
+  FROM c)
+SELECT user_id, bucket, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TOPK_K}
+"""
+
 ORACLE["q_conversation_stats"] = """
 WITH t AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -1438,6 +1468,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
+    "q_top_events": q_top_events,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
