@@ -150,6 +150,17 @@ def ngram_jaccard_pairs(
     recall by the band construction instead."""
     from pyspark.sql import Window
 
+    if pairs is not None:
+        # confirm-stage scan reduction: only docs that appear in a candidate
+        # pair need exact shingle sets — at web scale the candidate fraction
+        # is small, so the semi-join turns two full-corpus shingle passes
+        # into one (LSH) plus one over the candidates.  Shuffles doc ids
+        # only; AQE broadcasts the candidate side when it is small enough.
+        cand_ids = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        df = df.join(cand_ids, "doc_id", "left_semi")
+
     # shingle rows carry their doc's shingle-set size so the sizes ride
     # through the join (no per-doc sizes table, no extra joins at the end).
     # ONE exchange builds both: groupBy(doc_id).collect_set dedups map-side
