@@ -1,0 +1,135 @@
+"""Mergeable distinct-count sketches (K-minimum-values / KMV).
+
+Continuous aggregates need distinct counts per bucket ("distinct users per
+hour / day / month"), but ``COUNT(DISTINCT)`` does not reaggregate: a 1d
+tier cannot be built from 1h distinct counts, so a naive design re-scans
+raw history at every coarser tier — exactly what the tier architecture
+exists to avoid.  The KMV sketch (Bar-Yossef et al. RANDOM'02; Beyer et
+al. SIGMOD'07 "distinct-value synopses") is the smallest mergeable answer:
+keep the ``k`` smallest **distinct** hash values per bucket; estimate
+``n_distinct ≈ (k-1)·H / h_(k)`` where ``h_(k)`` is the k-th smallest and
+``H`` the hash space.  Sketch union is EXACT, not approximate-on-top-of-
+approximate: any hash among the k smallest of a union must be among the k
+smallest of its own input (otherwise k smaller hashes in that input alone
+would precede it), so ``k smallest of (concat of per-hour sketches)``
+equals the sketch built directly from the raw day — tiers lose nothing
+relative to recomputation (pinned bit-for-bit in tests and proven
+cross-engine by the q_kmv_day_merged driver query, whose DuckDB oracle
+computes the day sketch directly from raw events).
+
+Determinism: the hash is the md5 60-bit draw from
+:func:`tsengine.operators.sampling.hash_draw` — no RNG, no partition or
+cluster-layout dependence — so reruns and backfills produce identical
+tiers and an independent engine reproduces the exact sketch (DuckDB
+mirror: ``CAST('0x'||substr(md5(key),1,15) AS BIGINT)``).  The estimator
+is IEEE double arithmetic on exactly-representable operands
+(``(k-1)·16^15`` is exact for k ≤ 2^53/2^60-free small k), rounded to 3
+decimals, so Spark and DuckDB agree bitwise.
+
+100-TB shape: the ``(bucket, h)`` distinct aggregate combines map-side —
+duplicate events of a hot user collapse before the shuffle — and the rank
+window sorts DISTINCT hashes per bucket, bounded by per-bucket key
+cardinality, never event volume (same argument as
+:func:`tsengine.operators.eventops.top_items`).  When per-bucket
+cardinality is itself huge (distinct URLs per day on the open web), pass
+``cut``: a pre-filter keeps only ``h < cut`` rows through the heavy path,
+and buckets whose filtered sketch is short (they MIGHT have had ≥ k
+distinct overall with hashes above the cut) are recomputed unfiltered via
+an anti-join — the fallback is exact, so the cut NEVER changes results
+(pinned in tests), it only bounds the shuffled volume for the common case:
+with cut ≈ 4·k·H/E[n] the heavy path shuffles ~4·k rows per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsengine.operators.sampling import H_SPACE, hash_draw
+
+
+def _bucket(ts: str, width_sec: int) -> Column:
+    return (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+
+
+def _k_min(distinct_hashes: DataFrame, k: int) -> DataFrame:
+    """(bucket, h) distinct rows -> (bucket, kmv sorted array of ≤ k)."""
+    w = Window.partitionBy("bucket").orderBy("h")
+    return (
+        distinct_hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ep",
+    width_sec: int = 3600,
+    k: int = 64,
+    salt: str = "",
+    cut: int | None = None,
+) -> DataFrame:
+    """Per-bucket KMV sketch of ``key``'s distinct count.
+
+    Output: ``(bucket, kmv)`` — ``bucket`` = epoch-second floor to
+    ``width_sec``; ``kmv`` = ascending array of the ≤ k smallest distinct
+    md5 draws of ``key``.  Feed to :func:`kmv_estimate` for the count, or
+    to :func:`kmv_merge` to roll up to a coarser tier without touching raw
+    data.  ``cut`` (optional hash-space pre-filter) is result-invariant —
+    see module docstring.
+    """
+    base = df.select(
+        _bucket(ts, width_sec).alias("bucket"),
+        hash_draw(F.col(key), salt).alias("h"),
+    )
+    if cut is None:
+        return _k_min(base.distinct(), k)
+    # exact pre-filtered path: buckets whose filtered sketch reached k are
+    # provably complete (their k smallest all lie below the cut); every
+    # other bucket — short sketch OR entirely above the cut — recomputes
+    # unfiltered.  Equality with the unfiltered sketch is pinned in tests.
+    filt = _k_min(base.where(F.col("h") < int(cut)).distinct(), k)
+    full_buckets = filt.where(F.size("kmv") >= k)
+    fallback_ids = base.select("bucket").distinct().join(
+        full_buckets.select("bucket"), "bucket", "left_anti"
+    )
+    fallback = _k_min(
+        base.join(fallback_ids, "bucket", "left_semi").distinct(), k
+    )
+    return full_buckets.unionByName(fallback)
+
+
+def kmv_merge(
+    sketches: DataFrame, width_sec: int = 86400, k: int = 64
+) -> DataFrame:
+    """Roll sketches up to a coarser bucket: explode, dedup, re-rank.
+
+    ``k`` must not exceed the k the inputs were built with (a larger k
+    would need hashes the fine tier discarded).  The result is bit-for-bit
+    the sketch :func:`kmv_sketch` would build directly from raw data at
+    ``width_sec`` — the mergeability identity that makes distinct counts a
+    first-class tier column.
+    """
+    ex = sketches.select(
+        _bucket("bucket", width_sec).alias("bucket"),
+        F.explode("kmv").alias("h"),
+    ).distinct()
+    return _k_min(ex, k)
+
+
+def kmv_estimate(kmv: Column | str, k: int) -> Column:
+    """Distinct-count estimate column from a sketch array.
+
+    Fewer than k hashes ⇒ the sketch IS the distinct hash set — exact.
+    Otherwise the classic KMV estimator (k-1)·H / h_(k), rounded to 3
+    decimals (deterministic across engines)."""
+    c = F.col(kmv) if isinstance(kmv, str) else kmv
+    est = F.round(
+        F.lit(float(k - 1)) * F.lit(float(H_SPACE))
+        / F.element_at(c, k).cast("double"),
+        3,
+    )
+    return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(est)

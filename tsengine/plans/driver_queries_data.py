@@ -619,6 +619,46 @@ def q_cusum(spark, sf_dir):
     )
 
 
+KMV_HOUR_K = 16
+KMV_DAY_K = 64
+
+
+def q_kmv_distinct_hour(spark, sf_dir):
+    """Per-hour distinct-user KMV sketch + estimate.  At sf0.01 hours hold
+    4-28 distinct users around k=16, so BOTH estimator branches are
+    value-checked: short sketches return the exact distinct count, full
+    ones the (k-1)·H/h_(k) estimate.  DuckDB mirror recomputes the md5
+    draws, the k-min rank and the identical double arithmetic."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir)
+    sk = sketches.kmv_sketch(ev, key="user_id", ts="ep",
+                             width_sec=3600, k=KMV_HOUR_K)
+    return sk.select(
+        "bucket",
+        F.size("kmv").cast("long").alias("n_sketch"),
+        sketches.kmv_estimate("kmv", KMV_HOUR_K).alias("est_users"),
+    )
+
+
+def q_kmv_day_merged(spark, sf_dir):
+    """Cross-engine proof of KMV mergeability: Spark builds per-HOUR
+    sketches and merges them into days (never touching raw data at day
+    granularity); the DuckDB oracle computes the day sketch DIRECTLY from
+    raw events.  A hash match means merged == direct exactly — the
+    property that lets tier rollups carry distinct counts."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir)
+    hour = sketches.kmv_sketch(ev, key="user_id", ts="ep",
+                               width_sec=3600, k=KMV_DAY_K)
+    day = sketches.kmv_merge(hour, width_sec=86400, k=KMV_DAY_K)
+    return day.select(
+        "bucket",
+        sketches.kmv_estimate("kmv", KMV_DAY_K).alias("est_users"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.image_features(media, target=(4, 4)).select(
@@ -1144,6 +1184,40 @@ SELECT user_id, bucket, event_type, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {TOPK_K}
 """
 
+# KMV sketch mirrors: same md5 60-bit draw, same k-min rank, same estimator
+# arithmetic ((k-1)*16^15 is exact in double; round(x, 3) agrees between
+# engines away from exact .0005 ties, which the md5 draw space makes
+# unreachable in practice).  q_kmv_day_merged's oracle computes the DAY
+# sketch directly from raw events while Spark merges hour sketches — the
+# hash match proves the merge identity cross-engine.
+_KMV_SPACE = float(16**15)
+
+
+def _kmv_oracle(width: int, k: int, with_size: bool) -> str:
+    size_col = f"CAST(least(max(n), {k}) AS BIGINT) AS n_sketch,\n  " if with_size else ""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT
+         ({width} * (CAST(floor(epoch(ts)) AS BIGINT) // {width}))::BIGINT AS bucket,
+         {_H15.format(x="CAST(user_id AS VARCHAR)")} AS h
+  FROM events),
+r AS (
+  SELECT bucket, h,
+         row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY bucket) AS n
+  FROM d)
+SELECT bucket,
+  {size_col}CASE WHEN max(n) < {k} THEN CAST(max(n) AS DOUBLE)
+       ELSE round(({k} - 1) * {_KMV_SPACE} / max(CASE WHEN rn = {k} THEN h END), 3)
+  END AS est_users
+FROM r WHERE rn <= {k}
+GROUP BY bucket
+"""
+
+
+ORACLE["q_kmv_distinct_hour"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
+ORACLE["q_kmv_day_merged"] = _kmv_oracle(86400, KMV_DAY_K, with_size=False)
+
 ORACLE["q_conversation_stats"] = """
 WITH t AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -1469,6 +1543,8 @@ QUERIES = {
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
+    "q_kmv_distinct_hour": q_kmv_distinct_hour,
+    "q_kmv_day_merged": q_kmv_day_merged,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_minhash": q_minhash,
