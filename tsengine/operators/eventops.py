@@ -468,3 +468,60 @@ def top_items(
         .where(F.col("rank") <= k)
         .select(by, "bucket", F.col("_it").alias(item), "n", "rank")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ep",
+    width_sec: int = 86400,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active bucket
+    (the cohort), counted again at each later bucket they return in.
+
+    Output: (cohort, offset, n_users, retention) — ``offset`` in buckets
+    from the cohort bucket (0 = the cohort itself), ``retention`` =
+    n_users / cohort size, rounded to 6dp.  The curation use: data mixes
+    are often staged by acquisition wave; retention per wave is the gate
+    for whether a wave's users keep producing data worth sampling.
+
+    Scale shape — two exchanges total, both on bounded frames:
+    1. ``groupBy(key).agg(collect_set(bucket))`` dedups (key, bucket)
+       map-side AND yields the per-user activity set + its min (the
+       cohort) in ONE pass; the set is bounded by the retention window's
+       bucket count (e.g. <= 365 for a year of days), never event volume.
+    2. explode + ``groupBy(cohort, offset).count()`` — each exploded row
+       is one distinct (user, bucket), so count(*) IS the distinct-user
+       count; the post-agg cohort-size window runs over the tiny
+       (cohort, offset) matrix.
+    """
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    per_user = (
+        df.select(F.col(key).alias("_k"), b.alias("_b"))
+        .groupBy("_k")
+        .agg(F.collect_set("_b").alias("_bs"))
+        .select(
+            F.array_min("_bs").alias("cohort"), F.explode("_bs").alias("_b")
+        )
+    )
+    act = per_user.select(
+        "cohort",
+        ((F.col("_b") - F.col("cohort")) / width_sec).cast("long").alias("offset"),
+    )
+    if max_offset is not None:
+        act = act.where(F.col("offset") <= int(max_offset))
+    counts = act.groupBy("cohort", "offset").agg(
+        F.count("*").alias("n_users")
+    )
+    w = Window.partitionBy("cohort")
+    return counts.select(
+        "cohort",
+        "offset",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(w),
+            6,
+        ).alias("retention"),
+    )

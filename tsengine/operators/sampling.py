@@ -175,3 +175,85 @@ def pack_sequences(
         (F.floor((cum - 1) / max_len) - F.floor((cum - F.col("_n")) / max_len) + 1
          ).cast("long").alias("n_seqs"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 100,
+    by: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield, Lund & Thorup, JACM'07): each row gets priority
+    ``q = w / u`` with ``u`` a uniform draw in (0, 1]; the k highest
+    priorities are the sample, and each kept row's unbiased subset-sum
+    weight is ``max(w, tau)`` where ``tau`` is the (k+1)-th priority.
+    Estimates of any subset sum over the sample are unbiased with
+    near-optimal variance — the right primitive for weighted corpus
+    subsampling (sample documents proportional to token count, then
+    estimate token totals of any slice from the sample alone).
+
+    Everything stays reproducible AND cross-engine exact: ``u`` is the md5
+    60-bit draw shifted off zero (``(h+1) / 16^15``), so ``q = w * H /
+    (h+1)`` is one IEEE multiply and one divide — both correctly rounded,
+    so DuckDB computes bitwise-identical priorities (no exp/ln, unlike
+    exponential-key A-ES reservoirs, whose libm calls differ between
+    engines in the last ulp).
+
+    ``by=None``: global top-k via sort+limit (TakeOrderedAndProject — no
+    full sort at scale).  ``by=col``: per-group top-k via a rank window
+    over one exchange.  Rows with non-positive weight are excluded (their
+    inclusion probability is 0).  Output: the kept rows' key (+ group),
+    ``weight``, ``priority`` and ``est_weight``, priorities rounded to 6dp
+    for emission only (selection and tau use full precision).
+    """
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(H_SPACE))
+        / (hash_draw(F.col(key_col), salt) + F.lit(1)).cast("double")
+    )
+    base = df.where(F.col(weight_col) > 0).select(
+        *([F.col(by)] if by else []),
+        F.col(key_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        q.alias("_q"),
+    )
+    from pyspark.sql import Window
+
+    if by is None:
+        # global: TakeOrderedAndProject keeps k+1 rows (no full sort at
+        # scale); tau = the (k+1)-th priority, 0 when fewer rows exist
+        # (then every row is kept and est_weight == weight exactly)
+        topk1 = base.orderBy(F.col("_q").desc(), F.col(key_col)).limit(k + 1)
+        wall = Window.partitionBy(F.lit(1))
+        ranked = topk1.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("_q").desc(), F.col(key_col)))
+            .alias("_rn"),
+            F.when(
+                F.count("*").over(wall) > k, F.min("_q").over(wall)
+            ).otherwise(F.lit(0.0)).alias("_tau"),
+        )
+    else:
+        # per-group: one exchange for the rank window; tau comes from the
+        # _rn == k+1 row per group — a <=one-row-per-group frame joined
+        # back (broadcast-able), never a per-row copy of the group's
+        # priority list
+        wo = Window.partitionBy(by).orderBy(F.col("_q").desc(), F.col(key_col))
+        rn = base.withColumn("_rn", F.row_number().over(wo))
+        taus = rn.where(F.col("_rn") == k + 1).select(
+            F.col(by), F.col("_q").alias("_tau")
+        )
+        ranked = rn.join(taus, by, "left").withColumn(
+            "_tau", F.coalesce(F.col("_tau"), F.lit(0.0))
+        )
+    return ranked.where(F.col("_rn") <= k).select(
+        *([by] if by else []),
+        key_col,
+        "weight",
+        F.round("_q", 6).alias("priority"),
+        F.round(F.greatest(F.col("weight"), F.col("_tau")), 6).alias("est_weight"),
+    )

@@ -619,6 +619,34 @@ def q_cusum(spark, sf_dir):
     )
 
 
+PRIO_K = 5
+
+
+def q_priority_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup): top-5 docs per language by priority
+    w·H/(h+1) with the md5 draw — pure IEEE multiply/divide, so the DuckDB
+    mirror reproduces the exact sample, priorities AND the unbiased
+    max(w, tau) subset-sum weights."""
+    from tsengine.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "weight", F.col("n_chars").cast("double")
+    )
+    return priority_sample(docs, key_col="doc_id", weight_col="weight",
+                           k=PRIO_K, by="lang", salt="prio")
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix over events: users keyed by first active
+    day, distinct-user counts per (cohort, day offset) and the retention
+    fraction — DuckDB window/group mirror."""
+    from tsengine.operators.eventops import cohort_retention
+
+    ev = _typed_events(spark, sf_dir)
+    return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
+
+
 KMV_HOUR_K = 16
 KMV_DAY_K = 64
 
@@ -1215,6 +1243,41 @@ GROUP BY bucket
 """
 
 
+ORACLE["q_priority_sample"] = f"""
+WITH b AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+           / ({_H15.format(x="CAST(doc_id AS VARCHAR) || 'prio'")} + 1) AS q
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+  FROM b),
+t AS (SELECT lang, q AS tau FROM r WHERE rn = {PRIO_K} + 1)
+SELECT r.lang, doc_id, weight,
+       round(q, 6) AS priority,
+       round(greatest(weight, coalesce(tau, 0.0)), 6) AS est_weight
+FROM r LEFT JOIN t ON r.lang = t.lang
+WHERE rn <= {PRIO_K}
+"""
+
+ORACLE["q_cohort_retention"] = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         (86400 * (CAST(floor(epoch(ts)) AS BIGINT) // 86400))::BIGINT AS b
+  FROM events),
+c AS (
+  SELECT min(b) OVER (PARTITION BY user_id) AS cohort, b FROM a),
+m AS (
+  SELECT cohort, ((b - cohort) // 86400)::BIGINT AS "offset",
+         count(*) AS n_users
+  FROM c GROUP BY 1, 2)
+SELECT cohort, "offset", n_users,
+  round(n_users::DOUBLE
+        / max(CASE WHEN "offset" = 0 THEN n_users END)
+            OVER (PARTITION BY cohort), 6) AS retention
+FROM m
+"""
+
 ORACLE["q_kmv_distinct_hour"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
 ORACLE["q_kmv_day_merged"] = _kmv_oracle(86400, KMV_DAY_K, with_size=False)
 
@@ -1543,6 +1606,8 @@ QUERIES = {
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
+    "q_priority_sample": q_priority_sample,
+    "q_cohort_retention": q_cohort_retention,
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
     "q_kmv_day_merged": q_kmv_day_merged,
     "q_simhash": q_simhash,
