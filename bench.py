@@ -43,6 +43,7 @@ HEADLINE = [
     "q_embedding_near_dups",
     "q_dedup_clusters",   # LSH pairs -> connected components -> canonical
     "q_repetition",       # top/dup n-gram char fractions
+    "q_kmv_day_merged",   # mergeable distinct sketches, hour->day fold
 ]
 
 

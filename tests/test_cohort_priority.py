@@ -106,3 +106,22 @@ def test_priority_sample_global_and_partitioning_invariance(spark):
     kept = priority_sample(df0, k=10).collect()
     assert {r["doc_id"] for r in kept} == set(range(45, 50))
     assert all(r["est_weight"] == r["weight"] for r in kept)
+
+
+def test_plan_shapes(spark):
+    """Scale guards: cohort_retention = 3 exchanges (user agg, matrix agg,
+    cohort-size window over the tiny post-agg matrix); grouped
+    priority_sample = 2 (rank window + tau join); global priority_sample
+    plans TakeOrderedAndProject, never a full sort."""
+    ev = spark.createDataFrame([(0, 1)], "ep long, user_id long")
+    p = cohort_retention(ev)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 3, p
+
+    docs = _docs(spark, n=20)
+    p2 = (
+        priority_sample(docs, k=3, by="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p2.count("Exchange hashpartitioning") <= 2, p2
+    p3 = priority_sample(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3 and "Sort " not in p3, p3

@@ -93,3 +93,13 @@ def test_partitioning_invariance(spark, events):
         sketches.kmv_sketch(events.repartition(7, "user_id"), width_sec=3600, k=k)
     )
     assert a == b
+
+
+def test_kmv_plan_two_exchanges(spark, events):
+    """Scale guard: (bucket,h) distinct + the bucket rank window = two
+    Exchanges; the final groupBy(bucket) reuses the window's clustering."""
+    plan = (
+        sketches.kmv_sketch(events, width_sec=3600, k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
