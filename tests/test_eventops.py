@@ -314,3 +314,54 @@ def test_top_items_hand_computed(spark):
     assert got[(0, 1)] == ("a", 3) and got[(0, 2)] == ("b", 3)
     assert (0, 3) not in got  # c cut by k=2
     assert got[(100, 1)] == ("z", 2)
+
+
+def test_funnel_semantics(spark):
+    from tsengine.operators.eventops import funnel
+
+    rows = [
+        # u1: clean conversion, same-second click->purchase chain counts
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 200),
+        # u2: click BEFORE the first view never counts; later click does
+        (2, "click", 50), (2, "view", 100), (2, "click", 300),
+        # u3: click outside the window breaks the chain even though a
+        # purchase would have been inside it
+        (3, "view", 100), (3, "click", 100 + 1001), (3, "purchase", 100 + 900),
+        # u4: never does step 1 -> absent from output
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: boundary inclusive (t1 + within exactly)
+        (5, "view", 0), (5, "click", 1000), (5, "purchase", 1000),
+        # u6: earliest view anchors the window, not a later one
+        (6, "view", 0), (6, "view", 5000), (6, "click", 1500),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ep long")
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"], r["steps_reached"])
+        for r in funnel(df, ["view", "click", "purchase"],
+                        within_sec=1000).collect()
+    }
+    assert got == {
+        1: (100, 200, 200, 3),
+        2: (100, 300, None, 2),
+        3: (100, None, None, 1),
+        5: (0, 1000, 1000, 3),
+        6: (0, None, None, 1),
+    }
+
+
+def test_funnel_unwindowed_and_plan(spark):
+    from tsengine.operators.eventops import funnel
+
+    rows = [(1, "a", 0), (1, "b", 10**9)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ep long")
+    [r] = funnel(df, ["a", "b"]).collect()
+    assert (r["t_a"], r["t_b"], r["steps_reached"]) == (0, 10**9, 2)
+    # scale guard: one exchange (the per-user aggregate); fold is JVM-side
+    plan = (
+        funnel(df, ["a", "b"], within_sec=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel(df, ["a", "a"])

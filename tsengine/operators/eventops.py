@@ -525,3 +525,74 @@ def cohort_retention(
             6,
         ).alias("retention"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    ts: str = "ep",
+    event_col: str = "event_type",
+    within_sec: int | None = None,
+) -> DataFrame:
+    """Ordered-sequence conversion funnel: the earliest time each user
+    completes step i AFTER (>=, so same-second chains count) their step
+    i-1 completion, all inside ``within_sec`` of the FIRST step (the
+    standard windowed-funnel greedy rule — ClickHouse windowFunnel /
+    Amplitude semantics).
+
+    Output: one row per user that performed step 1 at least once —
+    ``t_<step>`` epoch columns (NULL once the chain breaks) and
+    ``steps_reached``.
+
+    Shape: one exchange.  Irrelevant event types are filtered BEFORE the
+    per-user ``collect_list`` (predicate lands in the scan), so the folded
+    array holds only funnel events; the fold itself is a JVM higher-order
+    ``aggregate`` over the (ts, step)-sorted array with K-slot state — no
+    Python, no window, no self-joins (a K-way chained-join formulation
+    pays K-1 extra shuffles).  Per-user array size is bounded by that
+    user's funnel-event count; truly pathological hot keys are the same
+    skew problem as every per-user op here (AQE skew handling, or
+    pre-filter to the analysis window).
+    """
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("steps must be non-empty and distinct")
+    k = len(steps)
+    step_idx = F.when(F.col(event_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], 1):
+        step_idx = step_idx.when(F.col(event_col) == s, i)
+    ev = (
+        df.select(F.col(by), F.col(ts).alias("_t"), step_idx.alias("_s"))
+        .where(F.col("_s").isNotNull())
+    )
+    arr = ev.groupBy(by).agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_s"))).alias("_ev")
+    )
+
+    def _upd(acc, e):
+        def slot(i):
+            if i == 0:
+                hit = acc[0].isNull() & (e["_s"] == 0)
+            else:
+                hit = (
+                    acc[i].isNull()
+                    & (e["_s"] == i)
+                    & acc[i - 1].isNotNull()
+                    & (e["_t"] >= acc[i - 1])
+                )
+                if within_sec is not None:
+                    hit = hit & (e["_t"] <= acc[0] + int(within_sec))
+            return F.when(hit, e["_t"]).otherwise(acc[i])
+
+        return F.array(*[slot(i) for i in range(k)])
+
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+    st = arr.select(by, F.aggregate("_ev", init, _upd).alias("_st"))
+    out = st.select(
+        by,
+        *[F.element_at("_st", i + 1).alias(f"t_{s}") for i, s in enumerate(steps)],
+        F.size(F.filter("_st", lambda x: x.isNotNull())).cast("long").alias(
+            "steps_reached"
+        ),
+    )
+    return out.where(F.col(f"t_{steps[0]}").isNotNull())

@@ -647,6 +647,31 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_W = 21600  # 6h conversion window: sf0.01 users straddle all 3 depths
+
+
+def q_funnel(spark, sf_dir):
+    """Windowed conversion funnel (view -> click -> purchase within 6h of
+    the first view, ClickHouse-windowFunnel greedy semantics) — the JVM
+    fold over per-user sorted event arrays, value-checked against a DuckDB
+    chain of min-aggregate CTEs implementing the same rule."""
+    from tsengine.operators.eventops import funnel
+
+    ev = _typed_events(spark, sf_dir)
+    out = funnel(ev, FUNNEL_STEPS, by="user_id", ts="ep",
+                 within_sec=FUNNEL_W)
+    # not-reached steps are NULL longs; the comparator's pandas fetch turns
+    # those into NaN floats (same as q_rolling_zscore) — emit -1 sentinels
+    # on both sides instead
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(f"t_{s}"), F.lit(-1)).alias(f"t_{s}")
+          for s in FUNNEL_STEPS],
+        "steps_reached",
+    )
+
+
 KMV_HOUR_K = 16
 KMV_DAY_K = 64
 
@@ -1243,6 +1268,31 @@ GROUP BY bucket
 """
 
 
+ORACLE["q_funnel"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+s1 AS (
+  SELECT user_id, min(ep) AS t1 FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(ep) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}'
+    AND ep >= t1 AND ep <= t1 + {FUNNEL_W} GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(ep) AS t3
+  FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}'
+    AND ep >= t2 AND ep <= t1 + {FUNNEL_W} GROUP BY 1)
+SELECT s1.user_id, t1 AS t_{FUNNEL_STEPS[0]},
+       coalesce(t2, -1) AS t_{FUNNEL_STEPS[1]},
+       coalesce(t3, -1) AS t_{FUNNEL_STEPS[2]},
+       (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::BIGINT
+         AS steps_reached
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
 ORACLE["q_priority_sample"] = f"""
 WITH b AS (
   SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
@@ -1606,6 +1656,7 @@ QUERIES = {
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
+    "q_funnel": q_funnel,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
