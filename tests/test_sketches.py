@@ -103,3 +103,71 @@ def test_kmv_plan_two_exchanges(spark, events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+EDGES = [float(2**i) for i in range(-2, 10)]
+
+
+def test_histogram_merge_identity(spark, events):
+    vals = events.select(
+        "ep", (F.col("user_id") % 37 * 13.25 + 0.5).alias("value")
+    )
+    m1 = sketches.fixed_histogram(vals, ts="ep", width_sec=60, edges=EDGES)
+    merged = sketches.histogram_merge(m1, width_sec=86400, nbins=len(EDGES) + 1)
+    direct = sketches.fixed_histogram(vals, ts="ep", width_sec=86400, edges=EDGES)
+    a = sorted((r["bucket"], tuple(r["hist"])) for r in merged.collect())
+    b = sorted((r["bucket"], tuple(r["hist"])) for r in direct.collect())
+    assert a == b and a  # bit-for-bit, non-empty
+
+
+def test_histogram_quantile_hand_vector(spark):
+    # edges [1, 2, 4]: values 1.0 x2 (slot 2), 3.0 x2 (slot 3) -> n=4
+    # p50: target 2.0 -> slot 2 (cum 2 >= 2), cumbelow 0: 1 + 1*(2-0)/2 = 2.0
+    # p75: target 3.0 -> slot 3, cumbelow 2:  2 + 2*(3-2)/2 = 3.0
+    edges = [1.0, 2.0, 4.0]
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 3.0), (3, 3.0)], "ep long, value double"
+    )
+    h = sketches.fixed_histogram(df, width_sec=3600, edges=edges)
+    r = h.select(
+        sketches.histogram_quantile("hist", edges, 0.5).alias("p50"),
+        sketches.histogram_quantile("hist", edges, 0.75).alias("p75"),
+    ).first()
+    assert (r["p50"], r["p75"]) == (2.0, 3.0)
+
+
+def test_histogram_quantile_clamps_and_skip_empty(spark):
+    edges = [1.0, 2.0, 4.0]
+    # below-first-edge mass clamps to the first edge; above-last to the last
+    lo = spark.createDataFrame([(0, 0.1)], "ep long, value double")
+    hi = spark.createDataFrame([(0, 99.0)], "ep long, value double")
+    for df, expect in ((lo, 1.0), (hi, 4.0)):
+        r = (
+            sketches.fixed_histogram(df, width_sec=3600, edges=edges)
+            .select(sketches.histogram_quantile("hist", edges, 0.5).alias("p"))
+            .first()
+        )
+        assert r["p"] == expect
+    # empty bins between mass are skipped: values in slots 2 and 4 only
+    df = spark.createDataFrame(
+        [(0, 1.5), (1, 99.0), (2, 99.0), (3, 99.0)], "ep long, value double"
+    )
+    r = (
+        sketches.fixed_histogram(df, width_sec=3600, edges=edges)
+        .select(sketches.histogram_quantile("hist", edges, 0.9).alias("p"))
+        .first()
+    )
+    assert r["p"] == 4.0  # top-bin clamp, slot 3 (empty) skipped
+
+
+def test_histogram_plan_single_aggregate(spark, events):
+    """Scale guard: one Exchange, codegen HashAggregate (conditional-sum
+    columns), no ObjectHashAggregate from array collection."""
+    plan = (
+        sketches.fixed_histogram(
+            events.select("ep", F.col("user_id").cast("double").alias("value")),
+            width_sec=3600, edges=EDGES,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ObjectHashAggregate" not in plan, plan

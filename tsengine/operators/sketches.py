@@ -133,3 +133,124 @@ def kmv_estimate(kmv: Column | str, k: int) -> Column:
         3,
     )
     return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(est)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-edge histograms -> quantiles (Prometheus histogram_quantile)
+# ---------------------------------------------------------------------------
+
+def _bin_expr(val: Column, edges: list[float]) -> Column:
+    """1-based bin slot: 1 + count of edges <= v.  Slot 1 = below the first
+    edge, slot len(edges)+1 = at/above the last.  A chain of codegen'd
+    comparisons — no log/exp (libm rounding differs across engines), the
+    edge literals are exact doubles (powers of two by convention)."""
+    b: Column = F.lit(1)
+    for e in edges:
+        b = b + F.when(val >= float(e), 1).otherwise(0)
+    return b
+
+
+def fixed_histogram(
+    df: DataFrame,
+    val: str = "value",
+    ts: str = "ep",
+    width_sec: int = 60,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Per-bucket fixed-edge histogram: ``(bucket, hist)`` with ``hist`` an
+    array of len(edges)+1 counts (slot i = values in [e_{i-2}, e_{i-1})).
+
+    The quantile analogue of the KMV sketch: exact percentiles don't
+    reaggregate (a 1d p95 cannot be built from 1m p95s), but histograms
+    merge by vector addition — and because the EDGES are fixed per metric
+    (the Prometheus le-bucket design), the merged histogram is bit-for-bit
+    the histogram computed directly at the coarse tier.  One shuffle; the
+    counts are len(edges)+1 conditional sums in a single codegen
+    HashAggregate (the rollup dist-map trick), assembled into an array."""
+    edges = edges if edges is not None else [float(2**i) for i in range(-2, 10)]
+    nbins = len(edges) + 1
+    b = _bucket(ts, width_sec)
+    binned = df.select(
+        b.alias("bucket"), _bin_expr(F.col(val).cast("double"), edges).alias("_b")
+    )
+    sums = [
+        F.sum(F.when(F.col("_b") == i + 1, 1).otherwise(0)).alias(f"_c{i}")
+        for i in range(nbins)
+    ]
+    return (
+        binned.groupBy("bucket")
+        .agg(*sums)
+        .select(
+            "bucket",
+            F.array(*[F.col(f"_c{i}").cast("long") for i in range(nbins)]).alias(
+                "hist"
+            ),
+        )
+    )
+
+
+def histogram_merge(
+    hists: DataFrame, width_sec: int = 3600, nbins: int | None = None
+) -> DataFrame:
+    """Fold fine-tier histograms into a coarser bucket: element-wise count
+    sums, again one codegen HashAggregate over per-slot conditional sums —
+    never a collect_list of arrays."""
+    if nbins is None:
+        nbins = len(hists.select("hist").first()["hist"])
+    ex = hists.select(
+        _bucket("bucket", width_sec).alias("bucket"), F.col("hist")
+    )
+    sums = [
+        F.sum(F.element_at("hist", i + 1)).alias(f"_c{i}") for i in range(nbins)
+    ]
+    return (
+        ex.groupBy("bucket")
+        .agg(*sums)
+        .select(
+            "bucket",
+            F.array(*[F.col(f"_c{i}").cast("long") for i in range(nbins)]).alias(
+                "hist"
+            ),
+        )
+    )
+
+
+def histogram_quantile(
+    hist: Column | str, edges: list[float], q: float
+) -> Column:
+    """Prometheus ``histogram_quantile``: linear interpolation inside the
+    first bin whose cumulative count reaches q·n (skipping empty bins);
+    clamped to the first/last edge for the open-ended end bins.  Pure
+    column arithmetic over the count array — deterministic across engines
+    (the DuckDB oracle recomputes the same rule from raw rows)."""
+    h = F.col(hist) if isinstance(hist, str) else hist
+    nb = len(edges) + 1
+    cum = F.transform(
+        F.sequence(F.lit(1), F.lit(nb)),
+        lambda i: F.aggregate(
+            F.slice(h, F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    n = F.element_at(cum, nb)
+    target = F.lit(float(q)) * n.cast("double")
+    idx = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(nb)),
+            lambda i: (F.element_at(cum, i).cast("double") >= target)
+            & (F.element_at(h, i) > 0),
+        ),
+        1,
+    )
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    lo = F.element_at(earr, idx - 1)
+    hi = F.element_at(earr, idx)  # idx is 2..nb-1 in the interpolated branch
+    cumbelow = F.element_at(cum, idx - 1).cast("double")
+    interp = lo + (hi - lo) * (target - cumbelow) / F.element_at(h, idx).cast(
+        "double"
+    )
+    est = (
+        F.when(idx == 1, F.lit(float(edges[0])))
+        .when(idx == nb, F.lit(float(edges[-1])))
+        .otherwise(interp)
+    )
+    return F.when(n > 0, F.round(est, 6))

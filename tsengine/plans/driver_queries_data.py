@@ -647,6 +647,32 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+HIST_EDGES = [float(2**i) for i in range(-2, 10)]  # 0.25 .. 512, exact doubles
+
+
+def q_hist_quantile_merged(spark, sf_dir):
+    """Prometheus-style histogram quantiles, tier-merged: Spark builds 1m
+    fixed-edge histograms, merges them into hours by vector addition, and
+    interpolates p50/p95 from the MERGED counts; the DuckDB oracle bins raw
+    events straight into hours and applies the same interpolation rule —
+    a hash match proves both the merge identity and the estimator."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir).select(
+        "ep", F.col("value").cast("double").alias("value")
+    )
+    m1 = sketches.fixed_histogram(ev, val="value", ts="ep",
+                                  width_sec=60, edges=HIST_EDGES)
+    h1 = sketches.histogram_merge(m1, width_sec=3600,
+                                  nbins=len(HIST_EDGES) + 1)
+    return h1.select(
+        "bucket",
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias("n"),
+        sketches.histogram_quantile("hist", HIST_EDGES, 0.5).alias("p50"),
+        sketches.histogram_quantile("hist", HIST_EDGES, 0.95).alias("p95"),
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_W = 21600  # 6h conversion window: sf0.01 users straddle all 3 depths
 
@@ -1268,6 +1294,61 @@ GROUP BY bucket
 """
 
 
+# histogram-quantile mirror: same 1-based slot rule (1 + count of edges <=
+# v), same interpolation lo + (hi-lo)*(q*n - cumbelow)/cnt with identical op
+# order, q and n forced to DOUBLE (DuckDB's bare 0.5 is DECIMAL).  Slots
+# with zero count never appear in the grouped frame, which implements the
+# estimator's skip-empty-bins rule for free.
+_HIST_NB = len(HIST_EDGES) + 1
+_HIST_SLOT = "1 + " + " + ".join(
+    f"(v >= CAST({e} AS DOUBLE))::INT" for e in HIST_EDGES
+)
+_HIST_EDGE_ROWS = ", ".join(
+    f"({s}, CAST({HIST_EDGES[s - 2]} AS DOUBLE), CAST({HIST_EDGES[s - 1]} AS DOUBLE))"
+    for s in range(2, _HIST_NB)
+)
+
+
+def _hist_q_sql(q: float, alias: str) -> str:
+    return f"""
+  SELECT c.bucket,
+    round(CASE WHEN sel.slot = 1 THEN CAST({HIST_EDGES[0]} AS DOUBLE)
+               WHEN sel.slot = {_HIST_NB} THEN CAST({HIST_EDGES[-1]} AS DOUBLE)
+               ELSE ed.lo + (ed.hi - ed.lo)
+                    * (CAST({q} AS DOUBLE) * CAST(t.n AS DOUBLE)
+                       - CAST(c.cum - c.cnt AS DOUBLE))
+                    / CAST(c.cnt AS DOUBLE)
+          END, 6) AS {alias}
+  FROM (SELECT bucket, min(slot) AS slot
+        FROM cum JOIN tot USING (bucket)
+        WHERE CAST(cum AS DOUBLE) >= CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)
+        GROUP BY bucket) sel
+  JOIN cum c ON c.bucket = sel.bucket AND c.slot = sel.slot
+  JOIN tot t ON t.bucket = sel.bucket
+  LEFT JOIN edges ed ON ed.slot = sel.slot
+"""
+
+
+ORACLE["q_hist_quantile_merged"] = f"""
+WITH e AS (
+  SELECT (3600 * (CAST(floor(epoch(ts)) AS BIGINT) // 3600))::BIGINT AS bucket,
+         CAST(value AS DOUBLE) AS v
+  FROM events),
+b AS (SELECT bucket, {_HIST_SLOT} AS slot FROM e),
+c AS (SELECT bucket, slot, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT bucket, slot, cnt,
+         sum(cnt) OVER (PARTITION BY bucket ORDER BY slot) AS cum
+  FROM c),
+tot AS (SELECT bucket, sum(cnt)::BIGINT AS n FROM c GROUP BY 1),
+edges(slot, lo, hi) AS (VALUES {_HIST_EDGE_ROWS}),
+q50 AS ({_hist_q_sql(0.5, "p50")}),
+q95 AS ({_hist_q_sql(0.95, "p95")})
+SELECT tot.bucket, n, p50, p95
+FROM tot JOIN q50 ON q50.bucket = tot.bucket
+         JOIN q95 ON q95.bucket = tot.bucket
+"""
+
 ORACLE["q_funnel"] = f"""
 WITH e AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
@@ -1657,6 +1738,7 @@ QUERIES = {
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
     "q_funnel": q_funnel,
+    "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
