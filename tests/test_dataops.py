@@ -309,3 +309,26 @@ def test_pii_scrub(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (0, 0, 0)
     # the dotted-quad pattern is syntactic (1-3 digit octets), not semantic
     assert out[2]["n_ipv4"] == 2 and "<IP>" in out[2]["text_clean"]
+
+
+def test_lsh_incremental_ingest_invariant(spark, docs):
+    """union(historical pairs, incremental pairs) == full-corpus pairs:
+    deduping a new batch against the stored band index loses nothing vs
+    re-running LSH over everything."""
+    from pyspark.sql import functions as F
+
+    old = docs.where(F.col("doc_id") < 4)
+    new = docs.where(F.col("doc_id") >= 4)
+
+    def pairs(df_pairs):
+        return {(r["doc_a"], r["doc_b"]) for r in df_pairs.collect()}
+
+    full = pairs(dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4))
+    hist = pairs(dedup.lsh_candidate_pairs(old, num_hashes=8, bands=4))
+    idx = dedup.lsh_band_rows(old, num_hashes=8, bands=4)
+    nb = dedup.lsh_band_rows(new, num_hashes=8, bands=4)
+    incr = pairs(dedup.lsh_pairs_incremental(nb, idx))
+    assert hist | incr == full
+    assert full, "fixture should produce at least one candidate pair"
+    # incremental pairs all touch the new batch
+    assert all(a >= 4 or b >= 4 for a, b in incr)

@@ -76,23 +76,20 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("mh"))
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
-
-    Shuffle profile: one agg for signatures, one explode->self-join keyed by
-    (band, band_hash) — the join keys are uniformly distributed md5 buckets,
-    so no skew; AQE handles residual imbalance.
-    """
+    """The persistable minhash-LSH INDEX: (doc_id, band, bh) rows, one per
+    band per doc.  Store these (e.g. as a snapshot table) and incremental
+    ingest never re-signatures the existing corpus — new batches join
+    against the stored rows (:func:`lsh_pairs_incremental`)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes, shingle_k)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -114,12 +111,55 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Shuffle profile: one agg for signatures, one explode->self-join keyed by
+    (band, band_hash) — the join keys are uniformly distributed md5 buckets,
+    so no skew; AQE handles residual imbalance.
+    """
+    banded = lsh_band_rows(df, text_col, num_hashes, bands, shingle_k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_pairs_incremental(
+    new_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Incremental-ingest candidates: every pair with at least one side in
+    the NEW batch — new x index (the stored :func:`lsh_band_rows` of the
+    existing corpus, never re-signatured) plus new x new.  Together with
+    the index's own historical pairs this reconstructs exactly the
+    full-corpus candidate set (pinned in tests), which is what makes LSH
+    dedup O(batch) per ingest instead of O(corpus).
+
+    Cost shape: the join probes only the new batch's band buckets; doc ids
+    must be disjoint between the two inputs (an id in both would pair with
+    itself and be dropped, hiding the collision)."""
+    a = new_bands.alias("a")
+    b = index_bands.unionByName(new_bands).alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 

@@ -119,6 +119,21 @@ def q_lsh_near_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
 
 
+def q_lsh_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: docs with doc_id % 10 == 0 arrive as a NEW
+    batch and are deduped against the stored LSH index of the rest —
+    candidates touch only pairs with a new side (new x index + new x new),
+    then the usual jaccard confirm.  The DuckDB oracle recomputes the full
+    banded join restricted by the same at-least-one-new-side predicate."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    idx = dedup.lsh_band_rows(old, num_hashes=16, bands=8)
+    nb = dedup.lsh_band_rows(new, num_hashes=16, bands=8)
+    cand = dedup.lsh_pairs_incremental(nb, idx)
+    return dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full near-dup DEDUP pipeline, not just pairs: LSH candidates ->
     jaccard confirm (>= 0.5) -> distributed connected components
@@ -1040,6 +1055,23 @@ inter AS (
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY 1, 2)"""
 
+# incremental-ingest variant: same CTE chain, candidate join restricted to
+# pairs with at least one side in the new batch (doc_id % 10 = 0)
+_LSH_CTES_INCR = _LSH_CTES.replace(
+    "WHERE a.doc_id < b.doc_id),",
+    "WHERE a.doc_id < b.doc_id"
+    " AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)),",
+)
+
+ORACLE["q_lsh_incremental"] = f"""
+WITH {_LSH_CTES_INCR}
+SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+"""
+
 ORACLE["q_lsh_near_dups"] = f"""
 WITH {_LSH_CTES}
 SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
@@ -1748,6 +1780,7 @@ QUERIES = {
     "q_minhash": q_minhash,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_lsh_near_dups": q_lsh_near_dups,
+    "q_lsh_incremental": q_lsh_incremental,
     "q_dedup_clusters": q_dedup_clusters,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_bruteforce": q_knn_bruteforce,
