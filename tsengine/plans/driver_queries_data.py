@@ -760,6 +760,22 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio band-energy features (decode -> rFFT -> 8 band means) over the
+    synthetic media table, exploded to (media_id, band, energy) rows; the
+    oracle recomputes the deterministic fake-decode + FFT chain in numpy
+    with no shared engine code."""
+    media = multimodal.synth_media(spark, n=48)
+    out = multimodal.audio_features(media, n_bands=8)
+    return out.select(
+        "media_id", F.posexplode("feature").alias("band", "energy")
+    ).select(
+        "media_id",
+        F.col("band").cast("long").alias("band"),
+        F.round("energy", 6).alias("energy"),
+    )
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     media = multimodal.synth_media(spark, n=48)
     return multimodal.video_frame_sample(media, every_n=24)
@@ -1733,6 +1749,40 @@ FROM (VALUES
 
 ORACLE["q_multimodal_image_features"] = _image_features_sql()
 
+
+def _audio_features_sql(n_bands: int = 8) -> str:
+    """Independent numpy recompute of the fake audio decode -> rFFT ->
+    band-mean chain (same pattern as the image oracle: duplicates the stub
+    arithmetic on purpose, shares no engine code)."""
+    import hashlib
+
+    import numpy as np
+
+    vals = []
+    for i in range(48):
+        rng = np.random.RandomState(42 + i)
+        payload = rng.bytes(256 + int(rng.randint(0, 512)))
+        if i % 3 != 1:  # kinds cycle image/audio/video
+            continue
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+        wav = (
+            np.random.RandomState(seed).standard_normal(int(16000 * 2.5)) * 0.1
+        ).astype("float32")
+        spec = np.abs(np.fft.rfft(wav))
+        for band, b in enumerate(np.array_split(spec, n_bands)):
+            vals.append((i, band, float(b.mean())))
+    rows = ",\n    ".join(f"({i}, {b}, {e!r})" for i, b, e in vals)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(band AS BIGINT) AS band,
+       round(CAST(e AS DOUBLE), 6) AS energy
+FROM (VALUES
+    {rows}) AS t(media_id, band, e)
+"""
+
+
+ORACLE["q_multimodal_audio_features"] = _audio_features_sql()
+
 # videos are media_id 2,5,...,47; meta is fixed fps=24 x duration 4.0s = 96
 # frames, sampled every 24 -> frame_idx 0,24,48,72
 ORACLE["q_multimodal_frame_sample"] = """
@@ -1791,4 +1841,5 @@ QUERIES = {
     "q_salted_rollup_1m": q_salted_rollup_1m,
     "q_multimodal_image_features": q_multimodal_image_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
+    "q_multimodal_audio_features": q_multimodal_audio_features,
 }
