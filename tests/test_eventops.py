@@ -365,3 +365,26 @@ def test_funnel_unwindowed_and_plan(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         funnel(df, ["a", "a"])
+
+
+def test_hopping_rollup(spark):
+    from tsengine.operators.eventops import hopping_rollup
+
+    # width 4, slide 2: event at ep=5 covers windows starting 2 and 4;
+    # ep=4 covers 2 and 4 (boundary: start <= ep < start+width)
+    df = spark.createDataFrame(
+        [(4, 1.0), (5, 10.0), (0, 100.0)], "ep long, value double"
+    )
+    got = {
+        r["w_start"]: (r["n"], r["sum_val"], r["mean_val"])
+        for r in hopping_rollup(df, width_sec=4, slide_sec=2).collect()
+    }
+    assert got == {
+        -2: (1, 100.0, 100.0),
+        0: (1, 100.0, 100.0),
+        2: (2, 11.0, 5.5),
+        4: (2, 11.0, 5.5),
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hopping_rollup(df, width_sec=5, slide_sec=2)

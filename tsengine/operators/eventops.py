@@ -596,3 +596,38 @@ def funnel(
         ),
     )
     return out.where(F.col(f"t_{steps[0]}").isNotNull())
+
+
+def hopping_rollup(
+    df: DataFrame,
+    ts: str = "ep",
+    val: str = "value",
+    width_sec: int = 3600,
+    slide_sec: int = 900,
+    min_count: int = 1,
+) -> DataFrame:
+    """Hopping (sliding) window aggregates: each event lands in
+    width/slide overlapping windows — the smoothing variant of the tier
+    buckets (tumbling = width == slide), e.g. '1h load, refreshed every
+    15m'.  Uses Spark's native ``window()`` expression (the same operator
+    Structured Streaming plans for watermarked sliding aggregates), which
+    expands each row to its window starts BEFORE the shuffle; the
+    aggregate itself stays a codegen HashAggregate with map-side combine.
+    Output: (w_start epoch, n, sum_val, mean_val).  Replication factor is
+    width/slide — bounded and explicit, the scale cost a caller opts into.
+    """
+    if width_sec % slide_sec:
+        raise ValueError("width_sec must be a multiple of slide_sec")
+    w = F.window(
+        F.timestamp_seconds(F.col(ts)), f"{width_sec} seconds", f"{slide_sec} seconds"
+    )
+    return (
+        df.select(w.alias("_w"), F.col(val).cast("double").alias("_v"))
+        .groupBy(F.col("_w.start").cast("long").alias("w_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_v"), 6).alias("sum_val"),
+            F.round(F.sum("_v") / F.count("*"), 6).alias("mean_val"),
+        )
+        .where(F.col("n") >= min_count)
+    )

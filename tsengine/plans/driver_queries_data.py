@@ -662,6 +662,20 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+HOP_W, HOP_S = 3600, 900
+
+
+def q_hopping_rollup(spark, sf_dir):
+    """1h windows sliding every 15m over events.value — Spark's native
+    window() expansion; the DuckDB oracle derives each event's covering
+    window starts with explicit generate_series arithmetic."""
+    from tsengine.operators.eventops import hopping_rollup
+
+    ev = _typed_events(spark, sf_dir)
+    return hopping_rollup(ev, ts="ep", val="value",
+                          width_sec=HOP_W, slide_sec=HOP_S)
+
+
 HIST_EDGES = [float(2**i) for i in range(-2, 10)]  # 0.25 .. 512, exact doubles
 
 
@@ -1377,6 +1391,22 @@ def _hist_q_sql(q: float, alias: str) -> str:
 """
 
 
+ORACLE["q_hopping_rollup"] = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, CAST(value AS DOUBLE) AS v
+  FROM events),
+x AS (
+  SELECT unnest(generate_series(
+           {HOP_S} * ((ep - {HOP_W}) // {HOP_S}) + {HOP_S},
+           {HOP_S} * (ep // {HOP_S}),
+           {HOP_S})) AS w_start, v
+  FROM e)
+SELECT w_start, count(*) AS n,
+       round(sum(v), 6) AS sum_val,
+       round(sum(v) / count(*), 6) AS mean_val
+FROM x GROUP BY 1
+"""
+
 ORACLE["q_hist_quantile_merged"] = f"""
 WITH e AS (
   SELECT (3600 * (CAST(floor(epoch(ts)) AS BIGINT) // 3600))::BIGINT AS bucket,
@@ -1820,6 +1850,7 @@ QUERIES = {
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
     "q_funnel": q_funnel,
+    "q_hopping_rollup": q_hopping_rollup,
     "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
