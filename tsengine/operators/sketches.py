@@ -254,3 +254,83 @@ def histogram_quantile(
         .otherwise(interp)
     )
     return F.when(n > 0, F.round(est, 6))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (long format): mergeable approximate item counts
+# ---------------------------------------------------------------------------
+
+def _cms_cell(item: Column, j: int, width: int, salt: str) -> Column:
+    return F.lit(j * width) + hash_draw(item, f"{salt}cms{j}") % width
+
+
+def cms_rows(
+    df: DataFrame,
+    item: str = "event_type",
+    ts: str = "ep",
+    width_sec: int = 3600,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Count-min sketch per bucket (Cormode & Muthukrishnan '05) in LONG
+    format: ``(bucket, cell, cnt)`` with depth·width cells, cell j·width +
+    h_j(item).  Completes the mergeable-sketch trio — KMV (distinct),
+    fixed-edge histograms (quantiles), CMS (per-item counts when the item
+    cardinality is unbounded and exact per-item tier columns can't exist).
+    Merge = summing cnt per cell (:func:`cms_merge` — integer adds, so
+    merged-from-fine == direct-at-coarse exactly); point estimates
+    overcount only (min over the depth rows bounds collision error at
+    ~2n/width with prob 1-2^-depth).
+
+    Long format IS the distributed representation: a bucket's sketch is at
+    most depth·width rows (bounded), map-side combine collapses event
+    volume before the shuffle, and no 1024-column array ever materializes.
+    Hashes are md5 draws — deterministic, partitioning-invariant, DuckDB-
+    mirrorable."""
+    b = _bucket(ts, width_sec)
+    cells = F.array(*[
+        _cms_cell(F.col(item), j, width, salt) for j in range(depth)
+    ])
+    return (
+        df.select(b.alias("bucket"), F.explode(cells).alias("cell"))
+        .groupBy("bucket", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(rows: DataFrame, width_sec: int = 86400) -> DataFrame:
+    """Fold fine-tier CMS rows into a coarser bucket: integer cell sums —
+    exactly the sketch built directly at the coarse tier."""
+    return (
+        rows.select(_bucket("bucket", width_sec).alias("bucket"), "cell", "cnt")
+        .groupBy("bucket", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    rows: DataFrame,
+    items: DataFrame,
+    item: str = "item",
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Point estimates for ``items`` (a small frame, broadcast against the
+    sketch rows): est = min over the depth rows of that item's cell count,
+    0 when any cell is empty.  Must be called with the depth/width/salt the
+    sketch was built with.  Output: (bucket, <item>, est)."""
+    probes = items.select(
+        F.col(item),
+        F.posexplode(
+            F.array(*[_cms_cell(F.col(item), j, width, salt) for j in range(depth)])
+        ).alias("_j", "cell"),
+    )
+    buckets = rows.select("bucket").distinct()
+    grid = buckets.crossJoin(probes)  # |buckets| x |items| x depth — small
+    return (
+        grid.join(rows, ["bucket", "cell"], "left")
+        .groupBy("bucket", item)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -662,6 +662,26 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+CMS_DEPTH, CMS_WIDTH = 3, 64
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch tier fold: hour CMS rows merged into days by
+    integer cell sums, then per-event-type point estimates (min over the
+    depth rows) from the MERGED sketch; the DuckDB oracle rebuilds the day
+    CMS directly from raw events with the same md5 cell hashes — the hash
+    match proves the merge identity and the estimator cross-engine."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir)
+    hour = sketches.cms_rows(ev, item="event_type", ts="ep", width_sec=3600,
+                             depth=CMS_DEPTH, width=CMS_WIDTH)
+    day = sketches.cms_merge(hour, width_sec=86400)
+    items = ev.select("event_type").distinct()
+    return sketches.cms_estimate(day, items, item="event_type",
+                                 depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
 HOP_W, HOP_S = 3600, 900
 
 
@@ -1391,6 +1411,31 @@ def _hist_q_sql(q: float, alias: str) -> str:
 """
 
 
+_CMS_CELL = (
+    f"j * {CMS_WIDTH} + "
+    + _H15.format(x="event_type || 'cms' || CAST(j AS VARCHAR)")
+    + f" % {CMS_WIDTH}"
+)
+
+ORACLE["q_cms_counts"] = f"""
+WITH e AS (
+  SELECT (86400 * (CAST(floor(epoch(ts)) AS BIGINT) // 86400))::BIGINT AS bucket,
+         event_type
+  FROM events),
+j(j) AS (VALUES {", ".join(f"({j})" for j in range(CMS_DEPTH))}),
+cms AS (
+  SELECT bucket, {_CMS_CELL} AS cell, count(*) AS cnt
+  FROM e CROSS JOIN j GROUP BY 1, 2),
+it AS (SELECT DISTINCT event_type FROM e),
+probe AS (SELECT event_type, {_CMS_CELL} AS cell FROM it CROSS JOIN j),
+b AS (SELECT DISTINCT bucket FROM e)
+SELECT b.bucket, probe.event_type,
+       CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+FROM b CROSS JOIN probe
+LEFT JOIN cms ON cms.bucket = b.bucket AND cms.cell = probe.cell
+GROUP BY 1, 2
+"""
+
 ORACLE["q_hopping_rollup"] = f"""
 WITH e AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, CAST(value AS DOUBLE) AS v
@@ -1851,6 +1896,7 @@ QUERIES = {
     "q_top_events": q_top_events,
     "q_funnel": q_funnel,
     "q_hopping_rollup": q_hopping_rollup,
+    "q_cms_counts": q_cms_counts,
     "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
