@@ -204,3 +204,21 @@ def test_cms_merge_identity_and_overcount_bound(spark, events):
         assert est[k] >= n
     # absent item estimates 0 only if some cell is empty; just pin type/shape
     assert all(isinstance(v, int) for v in est.values())
+
+
+def test_kmv_incremental_fold_across_batches(spark, events):
+    """Streaming/ingest shape: per-micro-batch sketches folded with
+    kmv_merge (same width) equal the sketch over all data — distinct
+    counts stay exactly maintainable under incremental ingestion."""
+    k = 6
+    b1 = events.where(F.col("user_id") % 3 == 0)
+    b2 = events.where(F.col("user_id") % 3 == 1)
+    b3 = events.where(F.col("user_id") % 3 == 2)
+    folded = sketches.kmv_merge(
+        sketches.kmv_sketch(b1, width_sec=3600, k=k)
+        .unionByName(sketches.kmv_sketch(b2, width_sec=3600, k=k))
+        .unionByName(sketches.kmv_sketch(b3, width_sec=3600, k=k)),
+        width_sec=3600, k=k,
+    )
+    direct = sketches.kmv_sketch(events, width_sec=3600, k=k)
+    assert _collect_sketches(folded) == _collect_sketches(direct)
