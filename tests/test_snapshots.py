@@ -258,3 +258,35 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
         t.incremental(spark, 5, 8)
     # nothing left to compact
     assert t.compact(spark, target_bytes=1 << 20) is None
+
+
+def test_compact_cluster_by_narrows_key_pruning(spark, tmp_path):
+    """cluster_by compaction (sort-order rewrite analogue): one messy day
+    of many convs interleaved across appends compacts into several
+    whole-day files each covering a NARROW conv range, so a conv-filtered
+    read plans a fraction of the day's files; rows unchanged."""
+    t = SnapshotTable(str(tmp_path / "tbl"), stat_cols=("conv_id",))
+    convs = [f"conv_{i:03d}" for i in range(16)]
+    # interleave: each append mixes convs from both ends of the key space
+    for j in range(4):
+        t.append(_turns(spark, convs[j::4], n=12).coalesce(1))
+    before = _rows(t.read(spark))
+    sid = t.compact(spark, target_bytes=1 << 20,
+                    cluster_by="conv_id", files_per_day=4)
+    assert sid is not None
+    man = t.snapshot(sid)
+    assert _rows(t.read(spark)) == before
+    # every rewritten file is whole-day AND covers a narrow conv slice
+    files = man["files"]
+    assert len(files) >= 3
+    for f in files:
+        assert f["min_ts"] // 86400 == f["max_ts"] // 86400
+    spans = sorted((f["stats"]["conv_id"][0], f["stats"]["conv_id"][1])
+                   for f in files)
+    # sorted-within-day + row split => file key ranges don't interleave
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo or a_lo == b_lo  # touching boundaries allowed
+    # conv-filtered planning prunes most of the day's files
+    planned = t._plan_files(man, None, None,
+                            where={"conv_id": ("conv_000", "conv_003")})
+    assert len(planned) < len(files)

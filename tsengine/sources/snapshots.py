@@ -395,7 +395,9 @@ class SnapshotTable:
     # ---- maintenance ----
 
     def compact(self, spark: SparkSession, target_bytes: int = 128 << 20,
-                properties: dict | None = None) -> int | None:
+                properties: dict | None = None,
+                cluster_by: str | None = None,
+                files_per_day: int = 4) -> int | None:
         """Bin-pack small data files (Iceberg ``rewrite_data_files``
         analogue): files under ``target_bytes`` are rewritten into
         day-aligned larger files in ONE replace_files commit; every other
@@ -407,7 +409,16 @@ class SnapshotTable:
         alone — same argument as materialize._ranged), so retention cutoffs
         at day boundaries stay exact after compaction.  Only days that
         actually have 2+ small files are rewritten.  Returns the new
-        snapshot id, or None when there is nothing to compact."""
+        snapshot id, or None when there is nothing to compact.
+
+        ``cluster_by`` (Iceberg sort-order rewrite analogue): additionally
+        sort each day partition by that column and split it into
+        ~``files_per_day`` files via ``maxRecordsPerFile`` — each output
+        file then covers ONE day and a NARROW ``cluster_by`` range, so
+        manifest min/max pruning on that stat column (``stat_cols``) skips
+        most of a day's files for key-filtered reads.  Day-exactness is
+        untouched: the partitioning is still day-range; the sort + row-count
+        split happen inside whole-day partitions."""
         cur = self.current_snapshot_id()
         if cur is None:
             return None
@@ -435,11 +446,36 @@ class SnapshotTable:
             epoch = F.col(self.ts_col).cast("timestamp").cast("long")
             day = F.floor(epoch / F.lit(86400))
             df = df.repartitionByRange(int(nbins), day)
+            if cluster_by is not None:
+                df = df.sortWithinPartitions(day, F.col(cluster_by))
         else:
             df = df.repartition(int(nbins))
-        return self.replace_files(
-            df, [f["path"] for f in picked], properties=properties,
-        )
+            if cluster_by is not None:
+                df = df.sortWithinPartitions(F.col(cluster_by))
+        if cluster_by is None:
+            return self.replace_files(
+                df, [f["path"] for f in picked], properties=properties,
+            )
+        # row-count split inside the sorted day partitions: target the
+        # biggest rewritten day's rows / files_per_day (action-free — row
+        # counts come from the manifest entries being rewritten)
+        day_rows: dict[int, int] = {}
+        for f in picked:
+            key = 0 if self.ts_col is None else f["min_ts"] // 86400
+            day_rows[key] = day_rows.get(key, 0) + f["rows"]
+        per_file = max(1, -(-max(day_rows.values()) // max(1, files_per_day)))
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, str(per_file))
+        try:
+            return self.replace_files(
+                df, [f["path"] for f in picked], properties=properties,
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
