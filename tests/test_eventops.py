@@ -388,3 +388,28 @@ def test_hopping_rollup(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hopping_rollup(df, width_sec=5, slide_sec=2)
+
+
+def test_autocorr(spark):
+    from tsengine.operators.eventops import autocorr
+
+    # strictly increasing series: lag-1 pairs are perfectly correlated
+    inc = [(1, i, float(i * 3 + 1)) for i in range(10)]
+    # constant series: zero variance -> NULL r
+    const = [(2, i, 5.0) for i in range(10)]
+    # alternating series: near-perfect anticorrelation
+    alt = [(3, i, float(1 if i % 2 else -1)) for i in range(10)]
+    df = spark.createDataFrame(inc + const + alt,
+                               "user_id long, ep long, value double")
+    got = {
+        r["user_id"]: (r["r"], r["n_pairs"], r["lag"])
+        for r in autocorr(df, by="user_id", lag_k=1).collect()
+    }
+    assert got[1][0] is not None and abs(got[1][0] - 1.0) < 1e-9
+    assert got[1][1:] == (9, 1)
+    assert got[2][0] is None
+    assert got[3][0] is not None and abs(got[3][0] + 1.0) < 1e-9
+    # lag 2 on the alternating series flips to +1
+    got2 = {r["user_id"]: r["r"]
+            for r in autocorr(df, by="user_id", lag_k=2).collect()}
+    assert abs(got2[3] - 1.0) < 1e-9

@@ -631,3 +631,44 @@ def hopping_rollup(
         )
         .where(F.col("n") >= min_count)
     )
+
+
+def autocorr(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    lag_k: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Lag-k autocorrelation per series: Pearson r between the value plane
+    and its k-step-lagged self under (ts, tiebreak) ordering — the
+    seasonality/persistence screen (lag 1 = short-term persistence, lag =
+    one period = seasonality).  One exchange: the lag window partitions by
+    the key and the aggregate reuses that clustering.  NULL when either
+    plane of the overlap has zero variance or fewer than 2 pairs (same
+    contract as :func:`bucket_corr`, and same try_divide assembly — ANSI
+    corr raises on zero variance)."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    pair = (
+        df.select(
+            F.col(by),
+            F.col(val).cast("double").alias("_y"),
+            F.lag(F.col(val).cast("double"), lag_k).over(w).alias("_x"),
+        )
+        .where(F.col("_x").isNotNull())
+    )
+    agg = pair.groupBy(by).agg(
+        F.covar_samp("_x", "_y").alias("_cv"),
+        F.stddev_samp("_x").alias("_sx"),
+        F.stddev_samp("_y").alias("_sy"),
+        F.count("*").alias("n_pairs"),
+    )
+    r = F.when(
+        (F.col("_sx") > 0) & (F.col("_sy") > 0),
+        F.try_divide(F.col("_cv"), F.col("_sx") * F.col("_sy")),
+    )
+    return agg.select(
+        by, F.lit(lag_k).cast("long").alias("lag"), r.alias("r"), "n_pairs"
+    )

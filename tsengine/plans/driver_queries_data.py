@@ -662,6 +662,22 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of value per user under (ep, event_id)
+    ordering — persistence screen; DuckDB lag-window + co-moment mirror,
+    NULL r (zero variance / <2 pairs) -> 0.0 in the hashable projection."""
+    from tsengine.operators.eventops import autocorr
+
+    ev = _typed_events(spark, sf_dir)
+    out = autocorr(ev, by="user_id", ts="ep", val="value",
+                   lag_k=1, tiebreak="event_id")
+    return out.select(
+        "user_id", "lag",
+        F.coalesce(F.round("r", 6), F.lit(0.0)).alias("r"),
+        "n_pairs",
+    )
+
+
 CMS_DEPTH, CMS_WIDTH = 3, 64
 
 
@@ -1411,6 +1427,24 @@ def _hist_q_sql(q: float, alias: str) -> str:
 """
 
 
+ORACLE["q_autocorr"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS y
+  FROM events),
+p AS (
+  SELECT user_id, y,
+         lag(y, 1) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS x
+  FROM e)
+SELECT user_id, CAST(1 AS BIGINT) AS lag,
+       COALESCE(round(CASE WHEN stddev_samp(x) > 0 AND stddev_samp(y) > 0
+                 THEN covar_samp(x, y) / (stddev_samp(x) * stddev_samp(y))
+                 END, 6), 0.0) AS r,
+       count(*) AS n_pairs
+FROM p WHERE x IS NOT NULL
+GROUP BY 1
+"""
+
 _CMS_CELL = (
     f"j * {CMS_WIDTH} + "
     + _H15.format(x="event_type || 'cms' || CAST(j AS VARCHAR)")
@@ -1897,6 +1931,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_hopping_rollup": q_hopping_rollup,
     "q_cms_counts": q_cms_counts,
+    "q_autocorr": q_autocorr,
     "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
