@@ -413,3 +413,30 @@ def test_autocorr(spark):
     got2 = {r["user_id"]: r["r"]
             for r in autocorr(df, by="user_id", lag_k=2).collect()}
     assert abs(got2[3] - 1.0) < 1e-9
+
+
+def test_state_durations(spark):
+    from tsengine.operators.eventops import state_durations
+
+    rows = [
+        # u1: A at 10 (holds to 3650, crossing the hour boundary),
+        #     B at 3650 (holds to 4000), A at 4000 (last: to bucket end 7200)
+        (1, 10, "A", 1), (1, 3650, "B", 2), (1, 4000, "A", 3),
+        # u2: duplicate-ts events — first (by tiebreak) holds 0s, dropped
+        (2, 100, "X", 1), (2, 100, "Y", 2), (2, 200, "Y", 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ep long, state string, event_id long")
+    got = {
+        (r["user_id"], r["bucket"], r["state"]): (r["sec"], r["n_holds"])
+        for r in state_durations(df, by="user_id", ts="ep", state="state",
+                                 width_sec=3600, tiebreak="event_id").collect()
+    }
+    assert got == {
+        (1, 0, "A"): (3590, 1),       # 10 -> 3600 clip
+        (1, 3600, "A"): (50 + 3200, 2),  # 3600->3650 carry + 4000->7200 tail
+        (1, 3600, "B"): (350, 1),     # 3650 -> 4000
+        (2, 0, "Y"): (100 + 3400, 2),  # 100->200 (dup X dropped), 200->3600
+    }
+    # coverage identity: per (user, bucket) the state seconds sum to
+    # (last hold end) - (first event ts) clipped per bucket
+    assert sum(s for (u, b, st), (s, _) in got.items() if u == 1) == 7200 - 10

@@ -672,3 +672,55 @@ def autocorr(
     return agg.select(
         by, F.lit(lag_k).cast("long").alias("lag"), r.alias("r"), "n_pairs"
     )
+
+
+def state_durations(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    state: str = "state",
+    width_sec: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Seconds spent in each categorical state per (key, bucket) — the
+    TimescaleDB ``state_agg``/``duration_in`` analogue (for transcripts:
+    wall-time per role/tool state per hour).  Each event starts an LOCF
+    hold [t, next_t); the final event's hold extends to the end of its own
+    bucket (no open-ended tail).  Unlike :func:`time_weighted_avg`, holds
+    CROSS bucket boundaries: each hold explodes over the buckets it covers
+    (``sequence()``, executor-side — the explode factor is hold-length /
+    width, which is the inherent output size) and is clipped per bucket.
+
+    Duplicate timestamps: earlier duplicates (by ``tiebreak`` order) hold
+    for zero seconds and are dropped; the last one carries the state —
+    deterministic given a unique tiebreak.  One keyed window exchange,
+    then the post-explode aggregate."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    own_bucket_end = (
+        F.floor(F.col(ts) / width_sec) * width_sec + width_sec
+    ).cast("long")
+    h = df.select(
+        F.col(by),
+        F.col(state).alias("_s"),
+        F.col(ts).alias("_t"),
+        F.coalesce(F.lead(ts).over(w).cast("long"), own_bucket_end).alias("_e"),
+    ).where(F.col("_e") > F.col("_t"))
+    b = F.explode(
+        F.sequence(
+            (F.floor(F.col("_t") / width_sec) * width_sec).cast("long"),
+            (F.floor((F.col("_e") - 1) / width_sec) * width_sec).cast("long"),
+            F.lit(width_sec).cast("long"),
+        )
+    )
+    x = h.select(F.col(by), "_s", "_t", "_e", b.alias("bucket"))
+    return (
+        x.groupBy(by, "bucket", F.col("_s").alias(state))
+        .agg(
+            F.sum(
+                F.least(F.col("_e"), F.col("bucket") + width_sec)
+                - F.greatest(F.col("_t"), F.col("bucket"))
+            ).cast("long").alias("sec"),
+            F.count("*").alias("n_holds"),
+        )
+    )

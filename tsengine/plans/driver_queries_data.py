@@ -662,6 +662,17 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+def q_state_durations(spark, sf_dir):
+    """Wall-time per event-type state per (user, hour): LOCF holds that
+    cross bucket boundaries, clipped per bucket — DuckDB lead-window +
+    generate_series mirror."""
+    from tsengine.operators.eventops import state_durations
+
+    ev = _typed_events(spark, sf_dir)
+    return state_durations(ev, by="user_id", ts="ep", state="event_type",
+                           width_sec=3600, tiebreak="event_id")
+
+
 def q_autocorr(spark, sf_dir):
     """Lag-1 autocorrelation of value per user under (ep, event_id)
     ordering — persistence screen; DuckDB lag-window + co-moment mirror,
@@ -1427,6 +1438,27 @@ def _hist_q_sql(q: float, alias: str) -> str:
 """
 
 
+ORACLE["q_state_durations"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+h AS (
+  SELECT user_id, event_type, ep AS t,
+         coalesce(lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id),
+                  3600 * (ep // 3600) + 3600) AS t_end
+  FROM e),
+x AS (
+  SELECT user_id, event_type, t, t_end,
+         unnest(generate_series(3600 * (t // 3600),
+                                3600 * ((t_end - 1) // 3600), 3600)) AS b
+  FROM h WHERE t_end > t)
+SELECT user_id, b AS bucket, event_type,
+       CAST(sum(least(t_end, b + 3600) - greatest(t, b)) AS BIGINT) AS sec,
+       count(*) AS n_holds
+FROM x GROUP BY 1, 2, 3
+"""
+
 ORACLE["q_autocorr"] = """
 WITH e AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -1932,6 +1964,7 @@ QUERIES = {
     "q_hopping_rollup": q_hopping_rollup,
     "q_cms_counts": q_cms_counts,
     "q_autocorr": q_autocorr,
+    "q_state_durations": q_state_durations,
     "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
