@@ -332,3 +332,32 @@ def test_lsh_incremental_ingest_invariant(spark, docs):
     assert full, "fixture should produce at least one candidate pair"
     # incremental pairs all touch the new batch
     assert all(a >= 4 or b >= 4 for a, b in incr)
+
+
+def test_centroid_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from tsengine.operators.similarity import centroid_similarity, group_centroids
+
+    # two tight clusters along different axes + one group aligned with g0
+    rows = (
+        [(i, [1.0, 0.0, 0.0, float(i % 2) * 1e-7], 0) for i in range(4)]
+        + [(10 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(4)]
+        + [(20 + i, [2.0, 0.0, 0.0, 0.0], 2) for i in range(4)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cent = group_centroids(emb, dim=4)
+    got = {r["label"]: (r["centroid"], r["n"]) for r in cent.collect()}
+    assert got[1] == ([0.0, 1.0, 0.0, 0.0], 4)
+    assert got[2] == ([2.0, 0.0, 0.0, 0.0], 4)
+    sim = {
+        (r["group_a"], r["group_b"]): r["cos"]
+        for r in centroid_similarity(cent).collect()
+    }
+    assert sim[(0, 2)] == 1.0      # same direction, different magnitude
+    assert sim[(0, 1)] == 0.0      # orthogonal
+    assert sim[(1, 2)] == 0.0
+    assert len(sim) == 3           # a < b pairs only
+    # single codegen aggregate for the centroids (no posexplode shuffle)
+    plan = group_centroids(emb, dim=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

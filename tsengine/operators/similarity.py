@@ -184,3 +184,61 @@ def ivf_topk(
     assigned = ivf_assign(emb, centroids, vec_col, id_col)
     pruned = assigned.filter(F.col("ivf_cell").isin(order))
     return cosine_topk_bruteforce(pruned, query, k, vec_col, "vec_id")
+
+
+def group_centroids(
+    emb: DataFrame,
+    group: str = "label",
+    vec: str = "embedding",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding: ``dim`` avg(element_at) columns in ONE
+    codegen HashAggregate (no posexplode shuffle on (group, dim) — the
+    group count is the small side, the vector width is fixed), assembled
+    into an array.  Components are rounded to ``round_dp`` so downstream
+    cosine math is reproducible across engines (float summation order
+    differs; the rounded centroid is the published artifact).
+    Output: (group, centroid array<double>, n)."""
+    cols = [
+        F.round(F.avg(F.element_at(F.col(vec).cast("array<double>"), i + 1)),
+                round_dp).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    agg = emb.groupBy(group).agg(*cols, F.count("*").alias("n"))
+    return agg.select(
+        group,
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+        "n",
+    )
+
+
+def centroid_similarity(
+    cent: DataFrame, group: str = "label", vec: str = "centroid"
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroids — the corpus
+    diagnostic for 'how close are these sources/classes/shards in
+    embedding space' (near-identical centroids flag label noise or
+    redundant sources; drift between time-shard centroids flags
+    distribution shift).  The centroid frame is tiny (one row per group),
+    so the a<b self-join is deliberately quadratic in GROUPS, never in
+    vectors.  Output: (group_a, group_b, cos) rounded to 6dp."""
+    def _norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ))
+
+    a = cent.select(F.col(group).alias("group_a"), F.col(vec).alias("_va"))
+    b = cent.select(F.col(group).alias("group_b"), F.col(vec).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b",
+            F.round(dot / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6)
+            .alias("cos"),
+        )
+    )

@@ -183,6 +183,23 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(emb, threshold=0.5, planes=6)
 
 
+def q_centroid_similarity(spark, sf_dir):
+    """Per-label centroid cosine matrix over the embeddings table — the
+    label-noise / redundant-source diagnostic.  Centroid components are
+    rounded to 6dp (the published artifact) so the DuckDB mirror's
+    differently-ordered float sums agree; the pairwise join is quadratic
+    in GROUPS (10), never vectors."""
+    emb = _emb(spark, sf_dir)
+    cent = similarity.group_centroids(emb, group="label", vec="embedding",
+                                      dim=64)
+    out = similarity.centroid_similarity(cent, group="label")
+    return out.select(
+        F.col("group_a").cast("long").alias("label_a"),
+        F.col("group_b").cast("long").alias("label_b"),
+        "cos",
+    )
+
+
 IVF_CELLS, IVF_NPROBE, IVF_K = 8, 3, 10
 
 
@@ -1438,6 +1455,24 @@ def _hist_q_sql(q: float, alias: str) -> str:
 """
 
 
+ORACLE["q_centroid_similarity"] = """
+WITH x AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+c AS (
+  SELECT label, dim, round(avg(v), 6) AS cv
+  FROM x GROUP BY 1, 2),
+n AS (SELECT label, sqrt(sum(cv * cv)) AS nrm FROM c GROUP BY 1),
+d AS (
+  SELECT a.label AS la, b.label AS lb, sum(a.cv * b.cv) AS dot
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM d JOIN n na ON na.label = la JOIN n nb ON nb.label = lb
+"""
+
 ORACLE["q_state_durations"] = """
 WITH e AS (
   SELECT user_id, event_id, event_type,
@@ -1981,6 +2016,7 @@ QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_knn_ivf": q_knn_ivf,
+    "q_centroid_similarity": q_centroid_similarity,
     "q_compress_roundtrip": q_compress_roundtrip,
     "q_transcript_rollup_1m": q_transcript_rollup_1m,
     "q_salted_rollup_1m": q_salted_rollup_1m,
