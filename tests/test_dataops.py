@@ -361,3 +361,23 @@ def test_centroid_similarity(spark):
     # single codegen aggregate for the centroids (no posexplode shuffle)
     plan = group_centroids(emb, dim=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_containment_detects_subset_doc(spark):
+    """A doc fully quoted inside a longer one: jaccard is low but
+    containment_a_in_b is 1.0 — the asymmetric case symmetric dedup
+    misses."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa " + "lambda mu nu xi omicron pi"
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    [r] = dedup.ngram_jaccard_pairs(
+        df, pairs, threshold=0.9, emit="containment"
+    ).collect()
+    assert r["containment_a_in_b"] == 1.0        # small fully inside big
+    assert r["containment_b_in_a"] < 0.3
+    assert r["jaccard"] < 0.3                     # symmetric score misses it
+    # jaccard emit is unchanged and would drop the pair at this threshold
+    assert dedup.ngram_jaccard_pairs(df, pairs, threshold=0.9).count() == 0

@@ -171,8 +171,11 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.0,
     max_doc_freq: int | None = None,
+    emit: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
+    ``emit="containment"`` adds the asymmetric |A∩B|/|A| scores (and
+    thresholds on the larger one) — the doc-inside-doc detector.
     Output: doc_a, doc_b, jaccard.
 
     With ``pairs=None``, candidates come from an inverted-index self-join.
@@ -276,16 +279,24 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"),
                  F.first("na").alias("na"), F.first("nb").alias("nb"))
         )
-    out = (
-        inter
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
+    if emit == "containment":
+        # asymmetric scores: |A∩B|/|A| — near 1.0 when one doc is a
+        # quote/subset of the other even though jaccard stays low (the
+        # doc-inside-doc case symmetric dedup misses).  Threshold applies
+        # to the larger containment.
+        c_ab = F.round(F.col("inter") / F.col("na"), 6)
+        c_ba = F.round(F.col("inter") / F.col("nb"), 6)
+        out = inter.select(
+            "doc_a", "doc_b", jac.alias("jaccard"),
+            c_ab.alias("containment_a_in_b"), c_ba.alias("containment_b_in_a"),
+        )
+        return out.filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+        )
+    out = inter.select("doc_a", "doc_b", jac.alias("jaccard"))
     return out.filter(F.col("jaccard") >= threshold)
 
 

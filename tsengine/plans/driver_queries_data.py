@@ -119,6 +119,17 @@ def q_lsh_near_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment scores over LSH candidates: |A∩B|/|A| near
+    1.0 flags quote/subset duplication jaccard misses.  (LSH bands recall
+    symmetric near-dups; a dedicated substring pass would band the small
+    side only — noted in the operator docstring.)"""
+    docs = _docs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    return dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5,
+                                     emit="containment")
+
+
 def q_lsh_incremental(spark, sf_dir):
     """Incremental-ingest dedup: docs with doc_id % 10 == 0 arrive as a NEW
     batch and are deduped against the stored LSH index of the rest —
@@ -1149,6 +1160,18 @@ inter AS (
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY 1, 2)"""
 
+ORACLE["q_containment"] = f"""
+WITH {_LSH_CTES}
+SELECT doc_a, doc_b,
+       round(i / (na.n + nb.n - i), 6) AS jaccard,
+       round(i / na.n, 6) AS containment_a_in_b,
+       round(i / nb.n, 6) AS containment_b_in_a
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE greatest(round(i / na.n, 6), round(i / nb.n, 6)) >= 0.5
+"""
+
 # incremental-ingest variant: same CTE chain, candidate join restricted to
 # pairs with at least one side in the new batch (doc_id % 10 = 0)
 _LSH_CTES_INCR = _LSH_CTES.replace(
@@ -2011,6 +2034,7 @@ QUERIES = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_lsh_near_dups": q_lsh_near_dups,
     "q_lsh_incremental": q_lsh_incremental,
+    "q_containment": q_containment,
     "q_dedup_clusters": q_dedup_clusters,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_bruteforce": q_knn_bruteforce,
