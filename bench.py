@@ -44,6 +44,7 @@ HEADLINE = [
     "q_dedup_clusters",   # LSH pairs -> connected components -> canonical
     "q_repetition",       # top/dup n-gram char fractions
     "q_kmv_day_merged",   # mergeable distinct sketches, hour->day fold
+    "q_state_durations",  # cross-bucket LOCF holds, sequence-explode clip
 ]
 
 

@@ -205,3 +205,107 @@ def test_rollup_tiers_match_oracle(spark, turns):
                 assert getattr(g, f) == e[f], (name, b, f)
             assert dict(g.role_dist or {}) == e["role_dist"], (name, b)
             assert dict(g.tool_dist or {}) == e["tool_dist"], (name, b)
+
+
+# ---------------------------------------------------------------- round-3 ops
+
+def _funnel_oracle(rows, steps, within):
+    """Pure-python greedy windowed funnel (independent re-derivation)."""
+    out = {}
+    by_user = {}
+    for uid, ep, s in sorted(rows, key=lambda r: (r[0], r[1], steps.index(r[2]))):
+        by_user.setdefault(uid, []).append((ep, s))
+    for uid, evs in by_user.items():
+        t = [None] * len(steps)
+        for ep, s in evs:
+            i = steps.index(s)
+            if i == 0:
+                if t[0] is None:
+                    t[0] = ep
+            elif (
+                t[i] is None and t[i - 1] is not None and ep >= t[i - 1]
+                and (within is None or ep <= t[0] + within)
+            ):
+                t[i] = ep
+        if t[0] is not None:
+            out[uid] = tuple(t)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=5000),       # ep
+            st.sampled_from(["a", "b", "c"]),               # step
+        ),
+        min_size=1, max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_matches_python_oracle(spark, rows):
+    from tsengine.operators.eventops import funnel
+
+    # unique (user, ep) so ordering is deterministic without a tiebreak:
+    # same-ts events would need the sort's step order pinned, which the
+    # operator defines via (ts, step) struct sort — mirrored in the oracle
+    seen, uniq = set(), []
+    for u, e, s in rows:
+        if (u, e) not in seen:
+            seen.add((u, e))
+            uniq.append((u, e, s))
+    df = spark.createDataFrame(uniq, "user_id long, ep long, event_type string")
+    got = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in funnel(df, ["a", "b", "c"], within_sec=1000).collect()
+    }
+    assert got == _funnel_oracle(uniq, ["a", "b", "c"], 1000)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),           # user
+            st.integers(min_value=0, max_value=20000),       # ep (unique)
+            st.sampled_from(["A", "B"]),                     # state
+        ),
+        min_size=1, max_size=50, unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_state_durations_coverage_identity(spark, rows):
+    """Per user: total state seconds == (end of last hold) - (first ts),
+    where the last hold ends at its own bucket end — the invariant that
+    clipping across buckets neither loses nor double-counts time."""
+    from tsengine.operators.eventops import state_durations
+
+    W = 3600
+    df = spark.createDataFrame(rows, "user_id long, ep long, state string")
+    got = state_durations(df, by="user_id", ts="ep", state="state",
+                          width_sec=W).collect()
+    per_user = {}
+    for r in got:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + r["sec"]
+    for uid in {r[0] for r in rows}:
+        eps = sorted(e for u, e, _s in rows if u == uid)
+        expect = (eps[-1] // W) * W + W - eps[0]
+        assert per_user[uid] == expect, (uid, per_user.get(uid), expect)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=400),
+                  min_size=1, max_size=120),
+    k=st.sampled_from([2, 5, 16]),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_identity_random(spark, keys, k):
+    from tsengine.operators import sketches
+
+    rows = [(i * 997 % 100_000, kk) for i, kk in enumerate(keys)]
+    df = spark.createDataFrame(rows, "ep long, user_id long")
+    hour = sketches.kmv_sketch(df, width_sec=3600, k=k)
+    merged = sketches.kmv_merge(hour, width_sec=86400, k=k)
+    direct = sketches.kmv_sketch(df, width_sec=86400, k=k)
+    ms = sorted((r["bucket"], tuple(r["kmv"])) for r in merged.collect())
+    ds = sorted((r["bucket"], tuple(r["kmv"])) for r in direct.collect())
+    assert ms == ds
