@@ -272,3 +272,46 @@ def test_stream_ingest_to_snapshot_exactly_once(spark, tmp_path):
                                 mat=mat, max_files_per_trigger=1)
     assert tbl.current_snapshot_id() == 4
     assert tbl.read(spark).count() == 70
+
+
+def test_streaming_hopping_window_matches_batch(spark, tmp_path):
+    """hopping_rollup's window() shape under Structured Streaming: a file
+    stream with a watermark over 1h-by-15m sliding windows, append mode;
+    emitted (closed) windows must equal the batch operator restricted to
+    the same watermark cutoff."""
+    from datetime import timezone
+
+    src = str(tmp_path / "transcripts")
+    write_transcripts(spark, src, n_conv=6, base_turns=30, hot_factor=2)
+    out = str(tmp_path / "hop_out")
+    ckpt = str(tmp_path / "hop_ckpt")
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(src)
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "3600 seconds", "900 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("w_start"), "n")
+    )
+    (stream.writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", ckpt).outputMode("append")
+     .trigger(availableNow=True).start().awaitTermination())
+
+    got = {(r["w_start"], r["n"]) for r in spark.read.parquet(out).collect()}
+
+    from tsengine.operators.eventops import hopping_rollup
+
+    raw = spark.read.parquet(src).select(
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+        F.lit(1.0).alias("value"),
+    )
+    max_ts = raw.agg(F.max("ep")).collect()[0][0]
+    wm = max_ts - 3600  # final watermark; only windows ending <= wm emit
+    exp = {
+        (r["w_start"], r["n"])
+        for r in hopping_rollup(raw, width_sec=3600, slide_sec=900).collect()
+        if r["w_start"] + 3600 <= wm
+    }
+    assert exp and got == exp
