@@ -381,3 +381,32 @@ def test_containment_detects_subset_doc(spark):
     assert r["jaccard"] < 0.3                     # symmetric score misses it
     # jaccard emit is unchanged and would drop the pair at this threshold
     assert dedup.ngram_jaccard_pairs(df, pairs, threshold=0.9).count() == 0
+
+
+def test_duplicate_spans(spark):
+    """Two docs sharing one verbatim 10-token license block: the merged
+    span covers exactly the block in both docs; unique text emits nothing;
+    an internal repetition within ONE doc is also caught (occurrences, not
+    distinct docs)."""
+    lic = "this block is licensed under the common public attribution terms"  # 10 tokens
+    rows = [
+        (1, "alpha beta " + lic + " gamma delta"),
+        (2, lic + " totally different tail words here"),
+        (3, "entirely unique words that appear nowhere else in this corpus"),
+        (4, "x y " + "rep rep rep rep rep rep rep rep rep rep rep rep"),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in dedup.duplicate_spans(df, span_tokens=8).collect()
+        if r["doc_id"] in (1, 2, 3)
+    }
+    # doc 1: lic occupies tokens 2..12 (0-based); 8-token windows fully
+    # inside it start at 2,3,4 -> merged span [2, 12)
+    assert got[1] == (2, 12, 3)
+    assert got[2] == (0, 10, 3)
+    assert 3 not in got
+    # doc 4's 'rep'*12 run self-repeats: windows at 2..6 are identical
+    [r4] = [r for r in dedup.duplicate_spans(df, span_tokens=8).collect()
+            if r["doc_id"] == 4]
+    assert (r4["start_tok"], r4["end_tok"]) == (2, 14)

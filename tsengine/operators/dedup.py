@@ -521,3 +521,70 @@ def semantic_dedup(
     return dedup_resolve(
         emb.select(F.col(id_col)), pairs, id_col=id_col, src="vec_a", dst="vec_b"
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span detection at token granularity — the
+    distributed analogue of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    removes any span repeated verbatim anywhere in the corpus (boilerplate,
+    licenses, quoted chains) that document-level near-dup scoring misses.
+    Where the paper builds one giant suffix array, the Spark shape is:
+    hash every ``span_tokens``-token window (explode with position), count
+    occurrences per hash corpus-wide (map-side combine; the count frame is
+    bounded by distinct spans), keep windows whose hash occurs
+    ``min_occurrences``+ times anywhere, and merge each doc's overlapping
+    duplicated windows into maximal intervals with the classic
+    islands-by-running-max window pass.
+
+    Output: (doc_id, start_tok inclusive, end_tok exclusive, n_windows) —
+    one row per maximal duplicated span.  A caller cuts these spans (or
+    drops docs whose duplicated fraction is high).  md5 window hashes:
+    deterministic, cross-engine reproducible; collisions (2^-60) over-mark
+    a span, never corrupt structure.
+    """
+    from tsengine.operators.textops import tokens_expr
+
+    L = int(span_tokens)
+    toks = df.select("doc_id", tokens_expr(F.col(text_col)).alias("_t"))
+    grams = toks.where(F.size("_t") >= L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - L + 1),
+                lambda i: F.md5(F.array_join(F.slice("_t", i, L), " ")),
+            )
+        ).alias("p", "h"),
+    )
+    dup_h = (
+        grams.groupBy("h").agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= int(min_occurrences))
+        .select("h")
+    )
+    dup = grams.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    # islands: a window starts a new span iff it begins past the running
+    # max end of everything before it
+    run_end = F.max(F.col("p") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "_new", F.when(run_end.isNull() | (F.col("p") > run_end), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + L).alias("end_tok"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_windows")
+    )

@@ -119,6 +119,24 @@ def q_lsh_near_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.5)
 
 
+SPAN_L = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022):
+    every maximal token span whose 8-token windows all repeat verbatim
+    somewhere in the corpus — DuckDB mirror recomputes the window hashes,
+    the corpus-wide occurrence counts and the islands merge."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.duplicate_spans(docs, span_tokens=SPAN_L, min_occurrences=2)
+    return out.select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        "n_windows",
+    )
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric containment scores over LSH candidates: |A∩B|/|A| near
     1.0 flags quote/subset duplication jaccard misses.  (LSH bands recall
@@ -1160,6 +1178,35 @@ inter AS (
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY 1, 2)"""
 
+ORACLE["q_duplicate_spans"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_CASED} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(toks) - {SPAN_L}, 1)) AS p,
+         toks
+  FROM t WHERE len(toks) >= {SPAN_L}),
+grams AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(toks, p + 1, p + {SPAN_L}), ' ')) AS h
+  FROM g),
+duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT doc_id, p FROM grams JOIN duph USING (h)),
+m AS (
+  SELECT doc_id, p,
+         max(p + {SPAN_L}) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+  FROM d),
+i AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN run_end IS NULL OR p > run_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM m)
+SELECT doc_id, min(p) AS start_tok, (max(p) + {SPAN_L})::BIGINT AS end_tok,
+       count(*) AS n_windows
+FROM i GROUP BY doc_id, island
+"""
+
 ORACLE["q_containment"] = f"""
 WITH {_LSH_CTES}
 SELECT doc_a, doc_b,
@@ -2035,6 +2082,7 @@ QUERIES = {
     "q_lsh_near_dups": q_lsh_near_dups,
     "q_lsh_incremental": q_lsh_incremental,
     "q_containment": q_containment,
+    "q_duplicate_spans": q_duplicate_spans,
     "q_dedup_clusters": q_dedup_clusters,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_bruteforce": q_knn_bruteforce,
