@@ -566,6 +566,61 @@ def q_contamination(spark, sf_dir):
                       "contam_frac", "contaminated")
 
 
+CURATION_RATE = 0.5
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Flagship composition — the full curation pipeline as ONE lazy plan:
+    Gopher quality gate -> exact-dedup canonicalization (min doc per
+    fingerprint) -> benchmark decontamination (eval subset excluded by
+    construction) -> deterministic Bernoulli sampling.  Every stage is an
+    already-oracle-checked operator; this query proves they compose (and
+    Catalyst plans the whole chain together).  The DuckDB oracle chains
+    the same four mirrors."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import sampling
+    from tsengine.operators.textops import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    # quality gate from the audited feature plane: the composite
+    # gopher_pass is stopword-gated (correct for web text, vacuous on this
+    # stopword-poor synthetic corpus), so the pipeline composes its own
+    # rule set — exactly the "filter rule-by-rule" use the operator emits
+    # the features for.  n_words >= 40 is the discriminating rule here.
+    g = textops.gopher_quality(docs).select(
+        "doc_id",
+        (
+            (F.col("n_words") >= 40)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_frac") >= 0.8)
+        ).alias("quality_pass"),
+    )
+    fp = textops.fingerprint(docs)
+    canon = (
+        fp.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("fp_md5"))
+        )
+        .where(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id")
+    )
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+    cont = contamination_check(docs, bench, k=3, threshold=0.5).select(
+        "doc_id", "contaminated"
+    )
+    kept = (
+        docs.join(g, "doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(cont, "doc_id")
+        .where(F.col("quality_pass") & (~F.col("contaminated")))
+    )
+    return sampling.hash_sample(
+        kept, key_col="doc_id", rate=CURATION_RATE, salt="cur"
+    ).select("doc_id", "lang", "source")
+
+
 QUOTA_N = 10
 PACK_MAXLEN = 512
 PACK_SHARDS = 4
@@ -1010,6 +1065,54 @@ SELECT doc_id,
 FROM f
 """
 
+
+# the composition oracle chains the gopher / fingerprint / contamination /
+# sampling mirrors verbatim (same f-string pieces and thresholds as the
+# individual oracles above/below)
+ORACLE["q_corpus_curation"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_CASED}) END)::DOUBLE AS n_words,
+    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS tok_chars,
+    (length(text) - length(replace(text, '#', '')))::DOUBLE AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE AS n_ell,
+    len(list_filter({_TOKS_CASED}, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS n_alpha
+  FROM documents),
+gp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0 THEN tok_chars / n_words ELSE 0.0 END AS mean_wl,
+      CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words ELSE 0.0 END AS symbol_ratio,
+      CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_frac
+    FROM t)
+  WHERE n_words >= 40
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND symbol_ratio <= 0.1
+    AND alpha_frac >= 0.8),
+fp AS (
+  SELECT doc_id, md5({_NORM}) AS h FROM documents),
+canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS k FROM fp)
+  WHERE doc_id = k),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)),
+bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_MOD} = 0),
+jn AS (SELECT sh.doc_id, (bs.s IS NOT NULL)::INT AS h
+       FROM sh LEFT JOIN bs ON sh.s = bs.s),
+co AS (SELECT doc_id,
+              floor(CAST(sum(h) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                / 1000000.0 AS contam_frac
+       FROM jn GROUP BY 1)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN gp ON gp.doc_id = d.doc_id
+JOIN canon ON canon.doc_id = d.doc_id
+JOIN co ON co.doc_id = d.doc_id
+WHERE co.contam_frac < 0.5
+  AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'cur'), 1, 15)) AS BIGINT)
+        < {int(CURATION_RATE * 16**15)}
+"""
 
 ORACLE["q_pii_scrub"] = f"""
 WITH d AS (
@@ -2062,6 +2165,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_source_quota": q_source_quota,
     "q_pack_sequences": q_pack_sequences,
+    "q_corpus_curation": q_corpus_curation,
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
     "q_top_events": q_top_events,
