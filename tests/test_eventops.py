@@ -440,3 +440,30 @@ def test_state_durations(spark):
     # coverage identity: per (user, bucket) the state seconds sum to
     # (last hold end) - (first event ts) clipped per bucket
     assert sum(s for (u, b, st), (s, _) in got.items() if u == 1) == 7200 - 10
+
+
+def test_derivative_and_integral(spark):
+    from tsengine.operators.eventops import derivative, trapezoid_integral
+
+    rows = [(1, 0, 0.0, 1), (1, 10, 20.0, 2), (1, 10, 30.0, 3), (1, 30, 30.0, 4)]
+    df = spark.createDataFrame(rows, "user_id long, ep long, value double, event_id long")
+    d = [
+        r["deriv"]
+        for r in derivative(df, by="user_id", tiebreak="event_id")
+        .orderBy("ep", "value").collect()
+    ]
+    # first point NULL; (0->10): 20/10 = 2; dup ts -> NULL; (10->30): 0/20 = 0
+    assert d[0] is None and d[1] == 2.0 and d[2] is None and d[3] == 0.0
+
+    ti = trapezoid_integral(df, by="user_id", width_sec=3600,
+                            tiebreak="event_id").collect()
+    [r] = ti
+    # trapezoids: (0+20)/2*10 + (20+30)/2*0 + (30+30)/2*20 = 100 + 0 + 600
+    assert (r["integral"], r["covered_sec"], r["n_points"]) == (700.0, 30, 4)
+
+    # single-point bucket integrates to zero but still emits
+    one = spark.createDataFrame([(2, 5, 9.0, 1)],
+                                "user_id long, ep long, value double, event_id long")
+    [r1] = trapezoid_integral(one, by="user_id", width_sec=3600,
+                              tiebreak="event_id").collect()
+    assert (r1["integral"], r1["n_points"]) == (0.0, 1)

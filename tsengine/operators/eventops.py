@@ -724,3 +724,62 @@ def state_durations(
             F.count("*").alias("n_holds"),
         )
     )
+
+
+def derivative(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    per_sec: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-wise rate of change dv/dt scaled to ``per_sec`` (InfluxDB
+    ``derivative`` / PromQL instantaneous-rate shape, without counter-reset
+    semantics — resets belong to :mod:`increments`).  First point per
+    series emits NULL; duplicate timestamps emit NULL (dt=0 — try_divide,
+    never a crash).  One keyed window exchange."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    dv = F.col(val).cast("double") - F.lag(F.col(val).cast("double")).over(w)
+    dt = (F.col(ts) - F.lag(ts).over(w)).cast("double")
+    return df.select(
+        F.col(by), F.col(ts), F.col(val),
+        (F.try_divide(dv, dt) * float(per_sec)).alias("deriv"),
+    )
+
+
+def trapezoid_integral(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    width_sec: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation integral per (key, bucket) (InfluxDB
+    ``integral`` / TimescaleDB time_weight('linear')): sum of trapezoid
+    areas (v_i + v_{i+1})/2 · dt over consecutive in-bucket pairs.  Same
+    within-bucket contract as :func:`time_weighted_avg` (no cross-bucket
+    carry; single-point buckets integrate to 0 but still emit coverage),
+    and the same one-exchange Window+HashAggregate shape."""
+    b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    order = [F.col("_t")] + ([F.col(tiebreak)] if tiebreak else [])
+    base = df.select(
+        F.col(by), b.alias("bucket"), F.col(ts).alias("_t"),
+        F.col(val).cast("double").alias("_v"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    w = Window.partitionBy(by, "bucket").orderBy(*order)
+    nxt_t = F.lead("_t").over(w)
+    nxt_v = F.lead("_v").over(w)
+    area = (F.col("_v") + nxt_v) / 2.0 * (nxt_t - F.col("_t")).cast("double")
+    return (
+        base.withColumn("_a", area)
+        .groupBy(by, "bucket")
+        .agg(
+            F.round(F.coalesce(F.sum("_a"), F.lit(0.0)), 6).alias("integral"),
+            (F.max("_t") - F.min("_t")).cast("long").alias("covered_sec"),
+            F.count("*").alias("n_points"),
+        )
+    )

@@ -763,6 +763,29 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
 
 
+def q_derivative_integral(spark, sf_dir):
+    """Point-wise dv/dt plus per-hour trapezoid integral of value per user
+    — InfluxDB derivative/integral parity, DuckDB lag/lead-window mirrors
+    joined on (user, bucket).  NULL deriv (first point / dt=0) -> 0.0 in
+    the hashable projection only."""
+    from tsengine.operators.eventops import derivative, trapezoid_integral
+
+    ev = _typed_events(spark, sf_dir)
+    d = derivative(ev, by="user_id", ts="ep", val="value",
+                   tiebreak="event_id").select(
+        "user_id", "ep",
+        # + 0.0 collapses IEEE -0.0 (engines disagree on the sign of a
+        # rounded tiny negative; the comparator formats the sign)
+        (F.coalesce(F.round("deriv", 6), F.lit(0.0)) + F.lit(0.0)).alias("deriv"),
+    )
+    ti = trapezoid_integral(ev, by="user_id", ts="ep", val="value",
+                            width_sec=3600, tiebreak="event_id")
+    b = (F.floor(F.col("ep") / 3600) * 3600).cast("long")
+    return d.withColumn("bucket", b).join(ti, ["user_id", "bucket"]).select(
+        "user_id", "ep", "deriv", "bucket", "integral", "covered_sec", "n_points"
+    )
+
+
 def q_state_durations(spark, sf_dir):
     """Wall-time per event-type state per (user, hour): LOCF holds that
     cross bucket boundaries, clipped per bucket — DuckDB lead-window +
@@ -1646,6 +1669,33 @@ SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
 FROM d JOIN n na ON na.label = la JOIN n nb ON nb.label = lb
 """
 
+ORACLE["q_derivative_integral"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v
+  FROM events),
+d AS (
+  SELECT user_id, ep,
+         COALESCE(round(
+           (v - lag(v) OVER w) / nullif((ep - lag(ep) OVER w)::DOUBLE, 0.0),
+           6), 0.0) + 0.0 AS deriv,
+         (3600 * (ep // 3600))::BIGINT AS bucket
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+p AS (
+  SELECT user_id, (3600 * (ep // 3600))::BIGINT AS bucket, ep, v,
+         lead(ep) OVER w2 AS nt, lead(v) OVER w2 AS nv
+  FROM e
+  WINDOW w2 AS (PARTITION BY user_id, (3600 * (ep // 3600)) ORDER BY ep, event_id)),
+i AS (
+  SELECT user_id, bucket,
+         round(COALESCE(sum((v + nv) / 2.0 * (nt - ep)::DOUBLE), 0.0), 6) AS integral,
+         (max(ep) - min(ep))::BIGINT AS covered_sec,
+         count(*) AS n_points
+  FROM p GROUP BY 1, 2)
+SELECT d.user_id, d.ep, d.deriv, d.bucket, i.integral, i.covered_sec, i.n_points
+FROM d JOIN i ON i.user_id = d.user_id AND i.bucket = d.bucket
+"""
+
 ORACLE["q_state_durations"] = """
 WITH e AS (
   SELECT user_id, event_id, event_type,
@@ -2174,6 +2224,7 @@ QUERIES = {
     "q_cms_counts": q_cms_counts,
     "q_autocorr": q_autocorr,
     "q_state_durations": q_state_durations,
+    "q_derivative_integral": q_derivative_integral,
     "q_hist_quantile_merged": q_hist_quantile_merged,
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
