@@ -293,3 +293,27 @@ def test_conversation_stats_single_exchange_plan(spark):
     # one shuffle (+ final AQE read), no Expand from a distinct rewrite
     assert plan.count("Exchange") <= 2
     assert "Expand" not in plan
+
+
+def test_latency_by_transition(spark):
+    from pyspark.sql import functions as F
+
+    from tsengine.operators import rollup as R
+
+    rows = [
+        ("c1", 1, "user", 0), ("c1", 2, "assistant", 10),
+        ("c1", 3, "user", 40), ("c1", 4, "assistant", 60),
+        ("c2", 1, "user", 0), ("c2", 2, "assistant", 30),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, e long"
+    ).select("conv_id", "turn_idx", "role", F.timestamp_seconds("e").alias("ts"))
+    got = {
+        (r["role_from"], r["role_to"]): (r["n"], r["mean_latency"],
+                                         r["max_latency"], r["p50_latency"])
+        for r in R.latency_by_transition(t).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (3, 20.0, 30, 20.0),   # 10, 20, 30
+        ("assistant", "user"): (1, 30.0, 30, 30.0),
+    }

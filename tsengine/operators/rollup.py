@@ -423,3 +423,42 @@ def conversation_stats(
         q6(F.sum(has_tool) / F.count("*")).alias("tool_frac"),
         F.sum("_chars").cast("long").alias("chars_total"),
     )
+
+
+def latency_by_transition(transcripts: DataFrame) -> DataFrame:
+    """Turn latency attributed to the ROLE TRANSITION that produced it —
+    the transcript-native latency breakdown: user->assistant measures model
+    response time, assistant->user measures human think time, tool-involved
+    transitions measure execution time.  Aggregating latency without this
+    split blends three unrelated distributions.
+
+    One exchange: the per-conversation lag window (turn_idx order)
+    clusters by conv_id; the (role_from, role_to) aggregate is over the
+    tiny transition matrix.  Output: role_from, role_to, n, mean_latency /
+    max_latency (seconds, 6dp), p50_latency (exact type-7 like the
+    percentile plane)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.col("role").alias("role_to"),
+        ep.alias("_ep"),
+    ).select(
+        "*",
+        F.lag("role_to").over(w).alias("role_from"),
+        (F.col("_ep") - F.lag("_ep").over(w)).alias("_lat"),
+    ).where(F.col("role_from").isNotNull())
+    return (
+        t.groupBy("role_from", "role_to")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_lat"), 6).alias("mean_latency"),
+            F.max("_lat").alias("max_latency"),
+            F.round(
+                F.expr("percentile(_lat, 0.5)"), 6
+            ).alias("p50_latency"),
+        )
+    )

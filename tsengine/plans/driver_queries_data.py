@@ -710,6 +710,27 @@ def q_conversation_stats(spark, sf_dir):
     return R.conversation_stats(t)
 
 
+def q_latency_transitions(spark, sf_dir):
+    """Turn latency attributed to role transitions on the events-derived
+    transcripts (same adapter as q_conversation_stats) — user->assistant is
+    response time, assistant->user is think time; blending them is the
+    classic latency-metric mistake.  DuckDB lag-window + quantile_cont
+    mirror."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import rollup as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return R.latency_by_transition(t)
+
+
 CUSUM_TARGET = 50.0
 CUSUM_K = 5.0
 CUSUM_H = 200.0
@@ -1859,6 +1880,25 @@ FROM m
 ORACLE["q_kmv_distinct_hour"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
 ORACLE["q_kmv_day_merged"] = _kmv_oracle(86400, KMV_DAY_K, with_size=False)
 
+ORACLE["q_latency_transitions"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+d AS (
+  SELECT lag(role) OVER w AS role_from, role AS role_to,
+         ep - lag(ep) OVER w AS lat
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT role_from, role_to, count(*) AS n,
+       round(avg(lat), 6) AS mean_latency,
+       max(lat) AS max_latency,
+       round(quantile_cont(lat, 0.5), 6) AS p50_latency
+FROM d WHERE role_from IS NOT NULL
+GROUP BY 1, 2
+"""
+
 ORACLE["q_conversation_stats"] = """
 WITH t AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -2218,6 +2258,7 @@ QUERIES = {
     "q_corpus_curation": q_corpus_curation,
     "q_cusum": q_cusum,
     "q_conversation_stats": q_conversation_stats,
+    "q_latency_transitions": q_latency_transitions,
     "q_top_events": q_top_events,
     "q_funnel": q_funnel,
     "q_hopping_rollup": q_hopping_rollup,
