@@ -467,3 +467,20 @@ def test_derivative_and_integral(spark):
     [r1] = trapezoid_integral(one, by="user_id", width_sec=3600,
                               tiebreak="event_id").collect()
     assert (r1["integral"], r1["n_points"]) == (0.0, 1)
+
+
+def test_holt_smooth(spark):
+    from tsengine.operators.eventops import holt_smooth
+
+    # linear ramp: Holt locks on (trend -> slope, one-step forecast exact);
+    # EWMA would lag it forever
+    rows = [(1, i, float(10 + 5 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, ep long, value double")
+    out = holt_smooth(df, by="user_id", alpha=0.5, beta=0.3).orderBy("ep").collect()
+    assert out[0]["level"] == 10.0 and out[0]["trend"] == 0.0
+    last = out[-1]
+    assert abs(last["trend"] - 5.0) < 1e-6
+    assert abs(last["level"] - last["value"]) < 1e-4
+    # hand-pinned first recursion steps (alpha .5, beta .3):
+    # l1 = .5*15 + .5*(10+0) = 12.5 ; b1 = .3*2.5 = .75
+    assert out[1]["level"] == 12.5 and out[1]["trend"] == 0.75

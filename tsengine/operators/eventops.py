@@ -783,3 +783,48 @@ def trapezoid_integral(
             F.count("*").alias("n_points"),
         )
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    by: str = "series_id",
+    ts: str = "ep",
+    val: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt double exponential smoothing per key (level + trend):
+
+        l_0 = x_0;              b_0 = 0
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    where :func:`ewma` tracks a level only (lags persistent trends), Holt
+    follows them — the one-step forecast is ``level + trend``.  Same
+    applyInPandas recursion shape as ewma/cusum: one key shuffle, then a
+    bounded in-memory loop per series; the DuckDB oracle carries (l, b)
+    through a RECURSIVE CTE with the identical op order so doubles match
+    bitwise.  Output: input columns + ``level``, ``trend``."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("level", DoubleType()), StructField("trend", DoubleType())]
+    )
+    a, bb = float(alpha), float(beta)
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[val].astype("float64").to_numpy()
+        lv = x.copy()
+        tr = x * 0.0
+        for i in range(1, len(x)):
+            prev = lv[i - 1]
+            lv[i] = a * x[i] + (1.0 - a) * (prev + tr[i - 1])
+            tr[i] = bb * (lv[i] - prev) + (1.0 - bb) * tr[i - 1]
+        return pdf.assign(level=lv, trend=tr)
+
+    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)

@@ -731,6 +731,28 @@ def q_latency_transitions(spark, sf_dir):
     return R.latency_by_transition(t)
 
 
+HOLT_A, HOLT_B = 0.3, 0.1
+
+
+def q_holt(spark, sf_dir):
+    """Holt double exponential smoothing (level + trend) per user — the
+    applyInPandas recursion, value-checked against a DuckDB RECURSIVE CTE
+    carrying (level, trend) through the identical op order so the doubles
+    match at 6dp."""
+    from tsengine.operators.eventops import holt_smooth
+
+    ev = _typed_events(spark, sf_dir).select(
+        "user_id", "event_id", "ep", F.col("value").cast("double").alias("value")
+    )
+    out = holt_smooth(ev, by="user_id", ts="ep", val="value",
+                      alpha=HOLT_A, beta=HOLT_B, tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "ep",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )
+
+
 CUSUM_TARGET = 50.0
 CUSUM_K = 5.0
 CUSUM_H = 200.0
@@ -1995,6 +2017,26 @@ rec AS (
 SELECT user_id, event_id, ep, round(ewma, 6) AS ewma FROM rec
 """
 
+ORACLE["q_holt"] = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, ep, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT bb.user_id, bb.event_id, bb.ep, bb.rn,
+         {HOLT_A} * bb.v + (1.0 - {HOLT_A}) * (r.l + r.b),
+         {HOLT_B} * (({HOLT_A} * bb.v + (1.0 - {HOLT_A}) * (r.l + r.b)) - r.l)
+           + (1.0 - {HOLT_B}) * r.b
+  FROM rec r JOIN base bb ON bb.user_id = r.user_id AND bb.rn = r.rn + 1)
+SELECT user_id, event_id, ep, round(l, 6) AS level, round(b, 6) AS trend
+FROM rec
+"""
+
 ORACLE["q_compress_roundtrip"] = (
     "SELECT user_id AS series_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, "
     "round(value, 6) AS value FROM events"
@@ -2250,6 +2292,7 @@ QUERIES = {
     "q_latency_percentiles": q_latency_percentiles,
     "q_trend_corr": q_trend_corr,
     "q_ewma": q_ewma,
+    "q_holt": q_holt,
     "q_stratified_sample": q_stratified_sample,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
