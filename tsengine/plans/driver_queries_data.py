@@ -963,6 +963,24 @@ def q_kmv_distinct_hour(spark, sf_dir):
     )
 
 
+def q_kmv_cut_invariant(spark, sf_dir):
+    """The cut-prefilter scale path value-checked cross-engine: a tight
+    hash-space cut (most buckets fall back, some complete under the
+    filter) must produce EXACTLY the uncut sketch — the oracle is the
+    plain hour-KMV mirror, no cut anywhere, so a hash match IS the
+    result-invariance proof on real data."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir)
+    sk = sketches.kmv_sketch(ev, key="user_id", ts="ep", width_sec=3600,
+                             k=KMV_HOUR_K, cut=16**15 // 2)
+    return sk.select(
+        "bucket",
+        F.size("kmv").cast("long").alias("n_sketch"),
+        sketches.kmv_estimate("kmv", KMV_HOUR_K).alias("est_users"),
+    )
+
+
 def q_kmv_day_merged(spark, sf_dir):
     """Cross-engine proof of KMV mergeability: Spark builds per-HOUR
     sketches and merges them into days (never touching raw data at day
@@ -1900,6 +1918,8 @@ FROM m
 """
 
 ORACLE["q_kmv_distinct_hour"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
+# cut-invariance: the prefiltered path mirrors against the UNCUT oracle
+ORACLE["q_kmv_cut_invariant"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
 ORACLE["q_kmv_day_merged"] = _kmv_oracle(86400, KMV_DAY_K, with_size=False)
 
 ORACLE["q_latency_transitions"] = """
@@ -2313,6 +2333,7 @@ QUERIES = {
     "q_priority_sample": q_priority_sample,
     "q_cohort_retention": q_cohort_retention,
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
+    "q_kmv_cut_invariant": q_kmv_cut_invariant,
     "q_kmv_day_merged": q_kmv_day_merged,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
