@@ -484,3 +484,23 @@ def test_holt_smooth(spark):
     # hand-pinned first recursion steps (alpha .5, beta .3):
     # l1 = .5*15 + .5*(10+0) = 12.5 ; b1 = .3*2.5 = .75
     assert out[1]["level"] == 12.5 and out[1]["trend"] == 0.75
+
+
+def test_session_stats_single_exchange(spark):
+    from tsengine.operators.eventops import session_stats
+
+    rows = [(1, 0, 1.0, 1), (1, 100, 2.0, 2), (1, 5000, 4.0, 3)]
+    df = spark.createDataFrame(rows, "user_id long, ep long, value double, event_id long")
+    got = {
+        r["session_idx"]: (r["n_events"], r["duration_sec"], r["value_sum"])
+        for r in session_stats(df, gap_sec=1800, val="value",
+                               tiebreak="event_id").collect()
+    }
+    assert got == {1: (2, 100, 3.0), 2: (1, 0, 4.0)}
+    # the groupBy(key, session_idx) reuses the session window's key
+    # partitioning: Window + HashAggregate over ONE exchange
+    plan = (
+        session_stats(df, gap_sec=1800, tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

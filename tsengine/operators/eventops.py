@@ -828,3 +828,30 @@ def holt_smooth(
         return pdf.assign(level=lv, trend=tr)
 
     return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+
+
+def session_stats(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ep",
+    val: str | None = None,
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: start/end/duration,
+    event count, optional value sum.  STILL one exchange: the session
+    window partitions by the key, and ``groupBy(key, session_idx)``'s
+    clustering is satisfied by that same key partitioning (all rows of a
+    group are already co-located), so Catalyst plans Window +
+    HashAggregate over a single shuffle — session analytics at the cost
+    of the sessionization itself."""
+    s = sessionize(df, by=by, ts=ts, gap_sec=gap_sec, tiebreak=tiebreak)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts).alias("start_ep"),
+        F.max(ts).alias("end_ep"),
+        (F.max(ts) - F.min(ts)).cast("long").alias("duration_sec"),
+    ]
+    if val is not None:
+        aggs.append(F.round(F.sum(F.col(val).cast("double")), 6).alias("value_sum"))
+    return s.groupBy(by, "session_idx").agg(*aggs)

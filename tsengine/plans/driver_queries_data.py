@@ -409,6 +409,16 @@ def q_sessionize(spark, sf_dir):
 M4_WIDTH = 21600
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-session rollups (duration, counts, value sums) in the same
+    single exchange as the sessionization — DuckDB window + group mirror."""
+    from tsengine.operators.eventops import session_stats
+
+    ev = _typed_events(spark, sf_dir)
+    return session_stats(ev, by="user_id", ts="ep", val="value",
+                         gap_sec=SESSION_GAP, tiebreak="event_id")
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visual downsample (Jugel et al. VLDB'14) of each user's value
     series at 6h pixel columns: first/last/min/max values AND timestamps
@@ -1494,6 +1504,27 @@ SELECT event_id, user_id,
 FROM g
 """
 
+ORACLE["q_session_stats"] = f"""
+WITH e AS (SELECT event_id, user_id, value::DOUBLE AS v,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+g AS (
+  SELECT event_id, user_id, ep, v,
+         CASE WHEN lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w > {SESSION_GAP} THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+s AS (
+  SELECT user_id, ep, v,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ep) AS start_ep, max(ep) AS end_ep,
+       (max(ep) - min(ep))::BIGINT AS duration_sec,
+       round(sum(v), 6) AS value_sum
+FROM s GROUP BY 1, 2
+"""
+
 ORACLE["q_m4_downsample"] = f"""
 WITH base AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value::DOUBLE AS value,
@@ -2306,6 +2337,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_sessionize": q_sessionize,
+    "q_session_stats": q_session_stats,
     "q_m4_downsample": q_m4_downsample,
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_rolling_zscore": q_rolling_zscore,
