@@ -309,3 +309,59 @@ def test_kmv_merge_identity_random(spark, keys, k):
     ms = sorted((r["bucket"], tuple(r["kmv"])) for r in merged.collect())
     ds = sorted((r["bucket"], tuple(r["kmv"])) for r in direct.collect())
     assert ms == ds
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50_000),
+                  st.integers(min_value=-100, max_value=100).map(float)),
+        min_size=1, max_size=60,
+    ),
+    width=st.sampled_from([4, 8, 16]),
+)
+@settings(**SETTINGS)
+def test_hopping_rollup_covering_property(spark, rows, width):
+    """Every event lands in exactly width/slide windows, window sums
+    reconstruct, and the tumbling special case (slide == width) equals a
+    plain bucket groupBy."""
+    from tsengine.operators.eventops import hopping_rollup
+
+    slide = width // 2
+    df = spark.createDataFrame(rows, "ep long, value double")
+    out = hopping_rollup(df, width_sec=width, slide_sec=slide).collect()
+    total_n = sum(r["n"] for r in out)
+    assert total_n == len(rows) * (width // slide)
+    tumb = {
+        (r["w_start"], r["n"])
+        for r in hopping_rollup(df, width_sec=width, slide_sec=width).collect()
+    }
+    exp = {}
+    for ep, _v in rows:
+        b = (ep // width) * width
+        exp[b] = exp.get(b, 0) + 1
+    assert tumb == set(exp.items())
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6),
+                  min_size=1, max_size=40, unique=True),
+    k=st.sampled_from([1, 3, 10]),
+)
+@settings(**SETTINGS)
+def test_priority_sample_global_matches_hashlib(spark, keys, k):
+    import hashlib
+
+    from tsengine.operators.sampling import H_SPACE, priority_sample
+
+    rows = [(kk, float(1 + kk % 17)) for kk in keys]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = {r["doc_id"] for r in priority_sample(df, k=k, salt="p").collect()}
+
+    def draw(x):
+        return int(hashlib.md5((str(x) + "p").encode()).hexdigest()[:15], 16)
+
+    pri = sorted(
+        ((w * float(H_SPACE) / float(draw(d) + 1), d) for d, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == {d for _q, d in pri[:k]}
