@@ -410,7 +410,12 @@ dist AS (SELECT epoch,
     first_value(pad IGNORE NULLS) OVER (ORDER BY epoch
         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
     FROM padded WHERE g = 1)
-SELECT CAST(0 AS BIGINT) AS series_id, epoch, round(value, 6) AS value FROM dist
+SELECT CAST(0 AS BIGINT) AS series_id, epoch, round(value, 6) AS value
+FROM dist
+-- empty-series edge (reference semantics): no source points in range ->
+-- no output rows, never a NULL-valued grid (engine matches; pinned by the
+-- sf0.001 sweep where this series has zero events)
+WHERE EXISTS (SELECT 1 FROM pts)
 """
 
 # E2: closed day window + the single pre-window anchor, hourly grid over
@@ -485,7 +490,9 @@ dist AS (SELECT epoch,
     FROM padded WHERE g = 1)
 SELECT CAST(0 AS BIGINT) AS series_id, max(epoch) AS epoch,
        round(avg(value), 6) AS value
-FROM dist GROUP BY {_bucket_sql('epoch', 'day')}
+FROM dist
+WHERE EXISTS (SELECT 1 FROM pts)  -- empty-series edge, as in q_get_variable
+GROUP BY {_bucket_sql('epoch', 'day')}
 """
 
 # F1+F2: open interval -> (from, to) exclusive == [from+1, to-1] on integers
