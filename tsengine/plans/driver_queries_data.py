@@ -173,6 +173,12 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     cand = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    # the confirm stage references cand twice (semi-join ids + the pair
+    # join) and connected_components materializes the confirmed pairs a
+    # third time — checkpoint the tiny candidate frame once instead of
+    # re-running the LSH chain per reference (right call at 100 TB too:
+    # candidates are the small output of the heavy stage)
+    cand = cand.localCheckpoint(eager=True)
     pairs = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
     out = dedup_resolve(docs, pairs)
     return out.select(
