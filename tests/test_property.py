@@ -365,3 +365,47 @@ def test_priority_sample_global_matches_hashlib(spark, keys, k):
         key=lambda t: (-t[0], t[1]),
     )
     assert got == {d for _q, d in pri[:k]}
+
+
+def _state_durations_oracle(rows, width):
+    """Pure-python re-derivation: LOCF holds, last hold to its own bucket
+    end, clip per covered bucket."""
+    out = {}
+    by_user = {}
+    for u, e, s in sorted(rows):
+        by_user.setdefault(u, []).append((e, s))
+    for u, evs in by_user.items():
+        for i, (t, s) in enumerate(evs):
+            t_end = evs[i + 1][0] if i + 1 < len(evs) else (t // width) * width + width
+            if t_end <= t:
+                continue
+            b = (t // width) * width
+            while b < t_end:
+                sec = min(t_end, b + width) - max(t, b)
+                key = (u, b, s)
+                n, tot = out.get(key, (0, 0))
+                out[key] = (n + 1, tot + sec)
+                b += width
+    return {k: (tot, n) for k, (n, tot) in out.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=0, max_value=30000),
+                  st.sampled_from(["A", "B", "C"])),
+        min_size=1, max_size=40, unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_state_durations_matches_python_oracle(spark, rows):
+    from tsengine.operators.eventops import state_durations
+
+    W = 3600
+    df = spark.createDataFrame(rows, "user_id long, ep long, state string")
+    got = {
+        (r["user_id"], r["bucket"], r["state"]): (r["sec"], r["n_holds"])
+        for r in state_durations(df, by="user_id", ts="ep", state="state",
+                                 width_sec=W).collect()
+    }
+    assert got == _state_durations_oracle(rows, W)
