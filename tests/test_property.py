@@ -409,3 +409,58 @@ def test_state_durations_matches_python_oracle(spark, rows):
                                  width_sec=W).collect()
     }
     assert got == _state_durations_oracle(rows, W)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),        # user
+                  st.integers(min_value=0, max_value=20)),      # day index
+        min_size=1, max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_cohort_retention_matches_python_oracle(spark, rows):
+    from tsengine.operators.eventops import cohort_retention
+
+    DAY = 86400
+    df = spark.createDataFrame(
+        [(d * DAY + u, u) for u, d in rows], "ep long, user_id long"
+    )
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(df, width_sec=DAY).collect()
+    }
+    days_by_user = {}
+    for u, d in rows:
+        days_by_user.setdefault(u, set()).add(d)
+    exp = {}
+    for u, ds in days_by_user.items():
+        c = min(ds)
+        for d in ds:
+            k = (c * DAY, d - c)
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+@given(
+    vals=st.lists(st.floats(min_value=0.01, max_value=500,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=1, max_size=80)
+)
+@settings(**SETTINGS)
+def test_histogram_quantile_monotone_and_bounded(spark, vals):
+    import pyspark.sql.functions as F
+
+    from tsengine.operators import sketches
+
+    edges = [float(2**i) for i in range(-2, 10)]
+    df = spark.createDataFrame([(0, v) for v in vals], "ep long, value double")
+    h = sketches.fixed_histogram(df, width_sec=3600, edges=edges)
+    r = h.select(
+        *[sketches.histogram_quantile("hist", edges, q).alias(f"p{int(q*100)}")
+          for q in (0.1, 0.5, 0.9, 0.99)]
+    ).first()
+    qs = [r["p10"], r["p50"], r["p90"], r["p99"]]
+    assert all(x is not None for x in qs)
+    assert qs == sorted(qs)                       # monotone in q
+    assert edges[0] <= qs[0] and qs[-1] <= edges[-1]  # clamped to edge range
