@@ -410,3 +410,36 @@ def test_duplicate_spans(spark):
     [r4] = [r for r in dedup.duplicate_spans(df, span_tokens=8).collect()
             if r["doc_id"] == 4]
     assert (r4["start_tok"], r4["end_tok"]) == (2, 14)
+
+
+def test_ivf_search_batch_matches_per_query_and_plan(spark):
+    """The batched ANN join returns, per query, what the single-query IVF
+    search returns (same codebook/nprobe/k) — and plans a broadcast join,
+    not a shuffle of the corpus per query."""
+    from pyspark.sql import functions as F
+
+    from tsengine.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = similarity.fixed_centroids(4, 64, seed=7)
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_search_batch(
+            emb, queries, cents, k=3, nprobe=2
+        ).collect()
+    }
+    for q in [r["query_id"] for r in queries.select("query_id").collect()]:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == q).first()["embedding"]]
+        single = similarity.ivf_topk(emb, qv, cents, k=3, nprobe=2).collect()
+        for rank, row in enumerate(single, 1):
+            assert batch[(q, rank)] == (row["vec_id"], row["cosine"]), (q, rank)
+    plan = (
+        similarity.ivf_search_batch(emb, queries, cents, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

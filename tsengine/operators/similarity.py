@@ -242,3 +242,78 @@ def centroid_similarity(
             .alias("cos"),
         )
     )
+
+
+def ivf_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched ANN JOIN — top-k cosine neighbors for EVERY query vector in
+    one plan, the production retrieval shape (single-vector ivf_topk loops
+    the driver; a per-query loop at 10^6 queries is not a pipeline).
+
+    Shape: both sides go through the same literal-codebook coarse
+    quantizer — corpus once (at scale: written bucketed by cell, so the
+    probe join prunes at the scan), each query expanded to its ``nprobe``
+    nearest cells via one array_sort over a struct(dist, cell) array
+    (ties to the lower cell, same rule as ivf_assign's strict-< chain).
+    The probe frame (queries × nprobe) is broadcast against the cell-
+    pruned corpus; exact cosine within matches; rank window per query
+    bounded by candidates.  Every corpus vector lives in exactly one
+    cell, so no pair dedup is needed.  Ranking uses the ROUNDED cosine
+    (6dp) with vec_id tie-break — deterministic and oracle-hashable."""
+    cents = [[float(x) for x in c] for c in centroids]
+    qv = F.col(vec_col)
+    dists = [
+        F.aggregate(
+            F.zip_with(qv, F.lit(c), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    darr = F.array(
+        *[
+            F.struct(dists[i].alias("d"), F.lit(i).alias("cell"))
+            for i in range(len(cents))
+        ]
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        F.explode(F.slice(F.array_sort(darr), 1, int(nprobe))).alias("_p"),
+    ).select(query_id_col, "_qv", F.col("_p.cell").alias("ivf_cell"))
+
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    dot = F.aggregate(
+        F.zip_with("_qv", F.col(vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "ivf_cell")
+        .select(
+            query_id_col,
+            "vec_id",
+            F.round(dot / (nrm(F.col("_qv")) * nrm(F.col(vec_col))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

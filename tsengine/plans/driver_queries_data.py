@@ -235,6 +235,26 @@ def q_centroid_similarity(spark, sf_dir):
     )
 
 
+ANN_MOD, ANN_NPROBE, ANN_K = 50, 3, 5
+
+
+def q_ann_join(spark, sf_dir):
+    """Batched ANN join: top-5 cosine neighbors for EVERY query vector
+    (vec_id % 50 == 0) in one plan — shared literal codebook, per-query
+    nprobe cell expansion, broadcast probe join, rank window.  DuckDB
+    mirror recomputes assignment, probes, cosine and rank identically."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") % ANN_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.fixed_centroids(IVF_CELLS, 64, seed=7)
+    return similarity.ivf_search_batch(
+        emb, queries, cents, k=ANN_K, nprobe=ANN_NPROBE
+    )
+
+
 IVF_CELLS, IVF_NPROBE, IVF_K = 8, 3, 10
 
 
@@ -2233,6 +2253,45 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
 
 ORACLE["q_knn_ivf"] = _ivf_sql()
 
+
+def _ann_join_sql() -> str:
+    cents = similarity.fixed_centroids(IVF_CELLS, 64, seed=7)
+    rows = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES
+    {rows}),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id % {ANN_MOD} = 0),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_distance(c, qv), cell) AS rn
+    FROM qs CROSS JOIN cents) WHERE rn <= {ANN_NPROBE}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a AS (SELECT vec_id, vec,
+        (SELECT cell FROM cents
+         ORDER BY list_distance(cents.c, e.vec), cell LIMIT 1) AS cell
+      FROM e),
+s AS (
+  SELECT query_id, vec_id,
+    round(list_dot_product(vec, qv) /
+          (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qv, qv))), 6)
+      AS cosine
+  FROM probe JOIN a USING (cell)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE["q_ann_join"] = _ann_join_sql()
+
 # salted two-phase rollup == direct rollup: same numeric-plane oracle as
 # q_transcript_rollup_1m (role/tool dropped — the salted query carries only
 # the latency plane)
@@ -2386,6 +2445,7 @@ QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_knn_ivf": q_knn_ivf,
+    "q_ann_join": q_ann_join,
     "q_centroid_similarity": q_centroid_similarity,
     "q_compress_roundtrip": q_compress_roundtrip,
     "q_transcript_rollup_1m": q_transcript_rollup_1m,
