@@ -193,3 +193,34 @@ def test_pack_sequences_single_exchange(spark):
         pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2  # one shard shuffle (+AQE read)
+
+
+def test_budget_sample(spark):
+    from pyspark.sql import functions as F
+
+    from tsengine.operators.sampling import budget_sample
+
+    rows = [(i, "a" if i < 60 else "b", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # a: 60 docs x 100 chars = 6000 total, budget 1500 -> rate .25
+    # b: budget exceeds total -> kept whole
+    out = budget_sample(df, class_col="source", weight_col="n_chars",
+                        budgets={"a": 1500.0, "b": 99999.0}, salt="t")
+    kept = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    assert got["b"] == 40
+    assert 5 <= got["a"] <= 25  # ~15 expected at rate .25
+    # no budget and no default -> class kept whole
+    out2 = budget_sample(df, class_col="source", weight_col="n_chars",
+                         budgets={"a": 1500.0}, default_budget=None, salt="t")
+    assert out2.where(F.col("source") == "b").count() == 40
+    # determinism + partitioning invariance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in budget_sample(df.repartition(7), class_col="source",
+                               weight_col="n_chars",
+                               budgets={"a": 1500.0, "b": 99999.0},
+                               salt="t").collect()
+    )
+    assert a == b

@@ -257,3 +257,49 @@ def priority_sample(
         F.round("_q", 6).alias("priority"),
         F.round(F.greatest(F.col("weight"), F.col("_tau")), 6).alias("est_weight"),
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    class_col: str = "source",
+    weight_col: str = "n_chars",
+    budgets: dict[str, float] | None = None,
+    default_budget: float | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Budget-capped mixture sampling: keep each class at the rate that
+    hits its WEIGHT budget in expectation — "2B tokens of web, 500M of
+    code" — the way data mixes are actually specified (budgets), not the
+    way the primitive wants them (rates).
+
+    rate(class) = min(1, budget / total_weight(class)), computed IN-PLAN by
+    a window sum over the class (no driver-side collect, no extra action —
+    at 100 TB the per-class totals are a partial-agg window over the scan);
+    the keep decision is the usual deterministic md5 draw, so the kept set
+    is still a pure function of (key, salt) given the corpus.  Classes
+    without a budget keep everything when ``default_budget`` is None, else
+    apply the default.  Adding rows to a class only ever lowers its rate —
+    re-running after ingest keeps the budget, not the old sample.
+    """
+    from pyspark.sql import Window
+
+    budgets = budgets or {}
+    w = Window.partitionBy(class_col)
+    total = F.sum(F.col(weight_col).cast("double")).over(w)
+    budget: Column | None = None
+    for cls, b in sorted(budgets.items()):
+        cond = F.when(F.col(class_col) == cls, F.lit(float(b)))
+        budget = cond.otherwise(budget) if budget is not None else cond
+    if budget is None:
+        budget = F.lit(None).cast("double")
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(float(default_budget)))
+    rate = F.least(F.lit(1.0), budget / total)  # NULL budget -> NULL rate
+    thr = rate * float(H_SPACE)
+    keep = budget.isNull() | (
+        hash_draw(F.col(key_col), salt).cast("double") < thr
+    )
+    # window expressions are not allowed directly in WHERE: project the
+    # keep flag, then filter on the materialized column
+    return df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")

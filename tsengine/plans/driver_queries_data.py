@@ -657,6 +657,25 @@ def q_corpus_curation(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+BUDGETS = {"src0": 3000.0, "src1": 20000.0, "src2": 1000.0}
+BUDGET_DEFAULT = 4000.0
+
+
+def q_budget_sample(spark, sf_dir):
+    """Budget-capped mixture sampling: per-source keep rates derived
+    IN-PLAN from char budgets (rate = min(1, budget/total_chars), window
+    sum per source, no driver action) — src1's budget exceeds its total
+    (kept whole), the others downsample.  DuckDB mirrors the rate
+    arithmetic and the md5 draw exactly."""
+    from tsengine.operators.sampling import budget_sample
+
+    docs = _docs(spark, sf_dir)
+    out = budget_sample(docs, key_col="doc_id", class_col="source",
+                        weight_col="n_chars", budgets=BUDGETS,
+                        default_budget=BUDGET_DEFAULT, salt="budget")
+    return out.select("doc_id", "source", "n_chars")
+
+
 QUOTA_N = 10
 PACK_MAXLEN = 512
 PACK_SHARDS = 4
@@ -1939,6 +1958,26 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
+ORACLE["q_budget_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         sum(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source) AS total
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_chars,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(CASE source
+                      WHEN 'src0' THEN {BUDGETS["src0"]}
+                      WHEN 'src1' THEN {BUDGETS["src1"]}
+                      WHEN 'src2' THEN {BUDGETS["src2"]}
+                      ELSE {BUDGET_DEFAULT}
+                    END AS DOUBLE) / total) AS rate
+  FROM t)
+SELECT doc_id, source, n_chars FROM r
+WHERE CAST({_H15.format(x="CAST(doc_id AS VARCHAR) || 'budget'")} AS DOUBLE)
+      < rate * CAST(1152921504606846976 AS DOUBLE)
+"""
+
 ORACLE["q_priority_sample"] = f"""
 WITH b AS (
   SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
@@ -2411,6 +2450,7 @@ QUERIES = {
     "q_ewma": q_ewma,
     "q_holt": q_holt,
     "q_stratified_sample": q_stratified_sample,
+    "q_budget_sample": q_budget_sample,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
     "q_source_quota": q_source_quota,
