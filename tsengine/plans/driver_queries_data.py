@@ -996,6 +996,38 @@ def q_funnel(spark, sf_dir):
     )
 
 
+SLIDE_W, SLIDE_S, SLIDE_K = 3600, 900, 16
+
+
+def q_sliding_distinct(spark, sf_dir):
+    """Sliding-window distinct users — notoriously awkward (distinct
+    doesn't decompose over overlapping windows) but trivial by
+    composition here: explode each event to its covering 1h-by-15m window
+    starts (the hopping rule), then KMV per window start (pass the start
+    as the sketch's ts with width = slide, so bucket == start).  DuckDB
+    mirrors the window arithmetic and the sketch exactly."""
+    from tsengine.operators import sketches
+
+    ev = _typed_events(spark, sf_dir)
+    ws = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                (F.floor((F.col("ep") - SLIDE_W) / SLIDE_S) + 1) * SLIDE_S,
+                (F.floor(F.col("ep") / SLIDE_S)) * SLIDE_S,
+                F.lit(SLIDE_S),
+            )
+        ).alias("w_start"),
+    )
+    sk = sketches.kmv_sketch(ws, key="user_id", ts="w_start",
+                             width_sec=SLIDE_S, k=SLIDE_K)
+    return sk.select(
+        F.col("bucket").alias("w_start"),
+        F.size("kmv").cast("long").alias("n_sketch"),
+        sketches.kmv_estimate("kmv", SLIDE_K).alias("est_users"),
+    )
+
+
 KMV_HOUR_K = 16
 KMV_DAY_K = 64
 
@@ -2013,6 +2045,30 @@ SELECT cohort, "offset", n_users,
 FROM m
 """
 
+ORACLE["q_sliding_distinct"] = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+x AS (
+  SELECT DISTINCT
+         unnest(generate_series({SLIDE_S} * ((ep - {SLIDE_W}) // {SLIDE_S}) + {SLIDE_S},
+                                {SLIDE_S} * (ep // {SLIDE_S}), {SLIDE_S})) AS w_start,
+         {_H15.format(x="CAST(user_id AS VARCHAR)")} AS h
+  FROM e),
+r AS (
+  SELECT w_start, h,
+         row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY w_start) AS n
+  FROM x)
+SELECT w_start,
+  CAST(least(max(n), {SLIDE_K}) AS BIGINT) AS n_sketch,
+  CASE WHEN max(n) < {SLIDE_K} THEN CAST(max(n) AS DOUBLE)
+       ELSE round(({SLIDE_K} - 1) * {_KMV_SPACE}
+                  / max(CASE WHEN rn = {SLIDE_K} THEN h END), 3)
+  END AS est_users
+FROM r WHERE rn <= {SLIDE_K}
+GROUP BY w_start
+"""
+
 ORACLE["q_kmv_distinct_hour"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
 # cut-invariance: the prefiltered path mirrors against the UNCUT oracle
 ORACLE["q_kmv_cut_invariant"] = _kmv_oracle(3600, KMV_HOUR_K, with_size=True)
@@ -2471,6 +2527,7 @@ QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
     "q_kmv_cut_invariant": q_kmv_cut_invariant,
+    "q_sliding_distinct": q_sliding_distinct,
     "q_kmv_day_merged": q_kmv_day_merged,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
