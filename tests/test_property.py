@@ -464,3 +464,37 @@ def test_histogram_quantile_monotone_and_bounded(spark, vals):
     assert all(x is not None for x in qs)
     assert qs == sorted(qs)                       # monotone in q
     assert edges[0] <= qs[0] and qs[-1] <= edges[-1]  # clamped to edge range
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=200),      # doc id
+                  st.sampled_from(["a", "b", "c"]),             # class
+                  st.integers(min_value=1, max_value=500)),     # weight
+        min_size=1, max_size=50, unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_budget_sample_matches_hashlib(spark, rows):
+    import hashlib
+
+    from tsengine.operators.sampling import H_SPACE, budget_sample
+
+    budgets = {"a": 300.0, "b": 100000.0}
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["doc_id"]
+        for r in budget_sample(df, class_col="source", weight_col="n_chars",
+                               budgets=budgets, default_budget=50.0,
+                               salt="pb").collect()
+    }
+    totals = {}
+    for _d, c, w in rows:
+        totals[c] = totals.get(c, 0.0) + float(w)
+    exp = set()
+    for d, c, _w in rows:
+        rate = min(1.0, budgets.get(c, 50.0) / totals[c])
+        h = int(hashlib.md5((str(d) + "pb").encode()).hexdigest()[:15], 16)
+        if float(h) < rate * float(H_SPACE):
+            exp.add(d)
+    assert got == exp
