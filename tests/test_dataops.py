@@ -443,3 +443,17 @@ def test_ivf_search_batch_matches_per_query_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_curation_plan_hygiene(spark):
+    """The four-stage curation composition must stay join-planned: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the chained
+    quality + dedup + decontamination + sampling plan."""
+    from tsengine.plans.driver_queries_data import q_corpus_curation
+
+    plan = (
+        q_corpus_curation(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
