@@ -504,3 +504,25 @@ def test_session_stats_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decayed_counts_exact(spark):
+    import pytest as _pt
+
+    from tsengine.operators.eventops import decayed_counts
+
+    DAY = 86400
+    ref = 10 * DAY
+    # user 1, item X: today (age 0), yesterday (age 1), 3 days ago (age 3)
+    rows = [(1, "X", 10 * DAY + 5), (1, "X", 9 * DAY + 2), (1, "X", 7 * DAY),
+            (1, "Y", 10 * DAY), (2, "X", 0)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ep long")
+    got = {
+        (r["user_id"], r["event_type"]): (r["score"], r["n"])
+        for r in decayed_counts(df, ref_ts=ref).collect()
+    }
+    assert got[(1, "X")] == (1.0 + 0.5 + 0.125, 3)  # exact dyadic sum
+    assert got[(1, "Y")] == (1.0, 1)
+    assert got[(2, "X")] == (0.5 ** 10, 1)
+    with _pt.raises(ValueError):
+        decayed_counts(df)  # ref_ts required

@@ -855,3 +855,37 @@ def session_stats(
     if val is not None:
         aggs.append(F.round(F.sum(F.col(val).cast("double")), 6).alias("value_sum"))
     return s.groupBy(by, "session_idx").agg(*aggs)
+
+
+def decayed_counts(
+    df: DataFrame,
+    by: str = "user_id",
+    item: str = "event_type",
+    ts: str = "ep",
+    ref_ts: int | None = None,
+    width_sec: int = 86400,
+    decay: float = 0.5,
+) -> DataFrame:
+    """Exponentially time-decayed item scores per key — the ranking/feed
+    primitive: score = Σ decay^age_buckets over the key's events, so
+    yesterday counts ``decay`` times today.  One codegen HashAggregate
+    with map-side combine (the decayed sum is a plain sum of per-row
+    powers — unlike a windowed recursion, it reaggregates, and coarser
+    reference points just rescale by a power of decay).
+
+    ``ref_ts`` anchors age 0 and must be supplied for a deterministic
+    result (deriving it from max(ts) would make every score depend on the
+    newest event).  With the default ``decay=0.5`` every term is a dyadic
+    rational and all partial sums are EXACT in binary floating point (ages
+    spanning < 53 buckets), so independent engines agree bitwise — no
+    rounding tolerance needed."""
+    if ref_ts is None:
+        raise ValueError("ref_ts is required (deterministic age anchor)")
+    age = (
+        F.floor(F.lit(int(ref_ts)) / width_sec) - F.floor(F.col(ts) / width_sec)
+    ).cast("double")
+    return (
+        df.groupBy(by, item)
+        .agg(F.sum(F.pow(F.lit(float(decay)), age)).alias("score"),
+             F.count("*").alias("n"))
+    )

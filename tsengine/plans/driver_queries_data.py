@@ -996,6 +996,20 @@ def q_funnel(spark, sf_dir):
     )
 
 
+DECAY_REF = 1706659200  # API_NOW anchor (2024-01-31)
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed event-type scores per user (0.5/day):
+    every term is a dyadic rational so both engines' sums are exact —
+    value-checked bitwise against the DuckDB power-sum mirror."""
+    from tsengine.operators.eventops import decayed_counts
+
+    ev = _typed_events(spark, sf_dir)
+    return decayed_counts(ev, by="user_id", item="event_type", ts="ep",
+                          ref_ts=DECAY_REF, width_sec=86400, decay=0.5)
+
+
 SLIDE_W, SLIDE_S, SLIDE_K = 3600, 900, 16
 
 
@@ -2045,6 +2059,13 @@ SELECT cohort, "offset", n_users,
 FROM m
 """
 
+ORACLE["q_decayed_counts"] = f"""
+SELECT user_id, event_type,
+       sum(pow(0.5, ({DECAY_REF} // 86400 - CAST(floor(epoch(ts)) AS BIGINT) // 86400)::DOUBLE)) AS score,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
 ORACLE["q_sliding_distinct"] = f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
@@ -2528,6 +2549,7 @@ QUERIES = {
     "q_kmv_distinct_hour": q_kmv_distinct_hour,
     "q_kmv_cut_invariant": q_kmv_cut_invariant,
     "q_sliding_distinct": q_sliding_distinct,
+    "q_decayed_counts": q_decayed_counts,
     "q_kmv_day_merged": q_kmv_day_merged,
     "q_simhash": q_simhash,
     "q_simhash_near_dups": q_simhash_near_dups,
