@@ -657,6 +657,31 @@ def q_corpus_curation(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    """Duplication rate per source — the curation report that decides
+    which sources get the expensive near-dup pass: exact-fingerprint
+    canonical per doc (min doc id per fp), then per-source doc counts,
+    canonical counts and dup fraction.  DuckDB window/group mirror."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    fp = textops.fingerprint(docs).select("doc_id", "fp_md5")
+    canon = fp.withColumn(
+        "_keep", F.min("doc_id").over(Window.partitionBy("fp_md5"))
+    ).select("doc_id", (F.col("doc_id") == F.col("_keep")).alias("_is_canon"))
+    return (
+        docs.join(canon, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_is_canon").cast("long")).alias("n_canonical"),
+            F.round(
+                1.0 - F.sum(F.col("_is_canon").cast("long")) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 BUDGETS = {"src0": 3000.0, "src1": 20000.0, "src2": 1000.0}
 BUDGET_DEFAULT = 4000.0
 
@@ -2004,6 +2029,19 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
+ORACLE["q_dup_rate_by_source"] = f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_NORM}) AS h FROM documents),
+c AS (
+  SELECT source, doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY h))::INT AS is_canon
+  FROM fp)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(is_canon) AS BIGINT) AS n_canonical,
+       round(1.0 - CAST(sum(is_canon) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM c GROUP BY 1
+"""
+
 ORACLE["q_budget_sample"] = f"""
 WITH t AS (
   SELECT doc_id, source, n_chars,
@@ -2528,6 +2566,7 @@ QUERIES = {
     "q_holt": q_holt,
     "q_stratified_sample": q_stratified_sample,
     "q_budget_sample": q_budget_sample,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
     "q_source_quota": q_source_quota,
