@@ -94,3 +94,28 @@ def test_dedup_resolve_full_pipeline(spark):
     kept = [d for d, r in res.items() if r["is_canonical"]]
     n_comp = len({r["component"] for r in res.values()})
     assert len(kept) == n_comp
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """VERDICT r03 task 3: checkpoint_dir switches per-round lineage
+    truncation to reliable DataFrame.checkpoint() files under the given
+    dir (survives executor loss), with identical results."""
+    rng = random.Random(11)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    local = {r["node"]: r["component"]
+             for r in C.connected_components(pairs).collect()}
+    reliable = {r["node"]: r["component"]
+                for r in C.connected_components(
+                    pairs, checkpoint_dir=ckdir).collect()}
+    assert reliable == local
+    # reliable checkpoint actually wrote RDD snapshot files to the dir
+    import os
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files written"
+    # dedup_resolve passes the dir through
+    docs = spark.createDataFrame(
+        [(n,) for n in range(100)], "doc_id long")
+    res = C.dedup_resolve(docs, pairs, checkpoint_dir=str(tmp_path / "cc2"))
+    assert res.count() == 100

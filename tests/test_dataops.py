@@ -457,3 +457,25 @@ def test_corpus_curation_plan_hygiene(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_incremental_validate_overlap(spark, docs):
+    """validate=True raises when a doc_id appears in both the new batch and
+    the stored index (self-pairs would silently mask real collisions)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    old = docs.where(F.col("doc_id") < 4)
+    new = docs.where(F.col("doc_id") >= 3)  # doc 3 overlaps
+    idx = dedup.lsh_band_rows(old, num_hashes=8, bands=4)
+    nb = dedup.lsh_band_rows(new, num_hashes=8, bands=4)
+    with _pt.raises(ValueError, match="present in both"):
+        dedup.lsh_pairs_incremental(nb, idx, validate=True)
+    # disjoint inputs pass validation and return the same pairs as unvalidated
+    nb2 = dedup.lsh_band_rows(docs.where(F.col("doc_id") >= 4),
+                              num_hashes=8, bands=4)
+    a = {(r["doc_a"], r["doc_b"])
+         for r in dedup.lsh_pairs_incremental(nb2, idx, validate=True).collect()}
+    b = {(r["doc_a"], r["doc_b"])
+         for r in dedup.lsh_pairs_incremental(nb2, idx).collect()}
+    assert a == b

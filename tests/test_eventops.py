@@ -526,3 +526,70 @@ def test_decayed_counts_exact(spark):
     assert got[(2, "X")] == (0.5 ** 10, 1)
     with _pt.raises(ValueError):
         decayed_counts(df)  # ref_ts required
+
+
+def test_decayed_counts_future_policy(spark):
+    """Events newer than ref_ts: default raises in-plan, clamp floors the
+    weight at 1.0, allow produces the super-unit weight explicitly."""
+    import pytest as _pt
+
+    from tsengine.operators.eventops import decayed_counts
+
+    DAY = 86400
+    ref = 5 * DAY
+    rows = [(1, "X", 5 * DAY), (1, "X", 7 * DAY)]  # second is 2 days future
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ep long")
+    with _pt.raises(Exception, match="newer than ref_ts"):
+        decayed_counts(df, ref_ts=ref).collect()
+    clamped = decayed_counts(df, ref_ts=ref, on_future="clamp").collect()
+    assert clamped[0]["score"] == 2.0  # both weigh 1.0
+    allowed = decayed_counts(df, ref_ts=ref, on_future="allow").collect()
+    assert allowed[0]["score"] == 1.0 + 4.0  # 0.5^(-2)
+    with _pt.raises(ValueError, match="on_future"):
+        decayed_counts(df, ref_ts=ref, on_future="bogus")
+
+
+def test_skew_guard_hot_key(spark):
+    """VERDICT r03 task 5: one synthetic hot key 1000x the median event
+    count is excluded + flagged by max_per_key instead of landing whole in
+    one task; uniform data with no cap keeps the original plan/columns."""
+    from tsengine.operators import eventops as E
+
+    rows = []
+    for u in range(1, 6):  # 5 uniform users, 10 events each (median = 10)
+        rows += [(u, "a" if i % 2 == 0 else "b", i * 10) for i in range(10)]
+    rows += [(99, "a", i) for i in range(10_000)]  # hot key: 1000x median
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ep long")
+
+    # --- funnel ---
+    got = {r["user_id"]: r
+           for r in E.funnel(df, ["a", "b"], max_per_key=100).collect()}
+    assert got[99]["overflow"] is True
+    assert got[99]["t_a"] is None and got[99]["steps_reached"] is None
+    for u in range(1, 6):
+        assert got[u]["overflow"] is False and got[u]["steps_reached"] == 2
+    # no cap: plan/columns unchanged (no overflow column, no guard joins)
+    plain = E.funnel(df, ["a", "b"])
+    assert "overflow" not in plain.columns
+    assert "Join" not in plain._jdf.queryExecution().optimizedPlan().toString()
+
+    # --- ewma (same shape for cusum/holt/lttb via _guarded) ---
+    vdf = df.withColumn("value", F.col("ep").cast("double")) \
+            .withColumnRenamed("user_id", "series_id")
+    ew = E.ewma(vdf, max_per_key=100)
+    hot = ew.where(F.col("series_id") == 99).collect()
+    assert len(hot) == 1 and hot[0]["overflow"] is True and hot[0]["ewma"] is None
+    ok = ew.where((F.col("series_id") == 1) & ~F.col("overflow")).count()
+    assert ok == 10
+    assert "overflow" not in E.ewma(vdf).columns
+
+    # --- cohort_retention: excluded users -> one summary row ---
+    cr = E.cohort_retention(df, width_sec=100, max_per_key=100).collect()
+    pad = [r for r in cr if r["cohort"] is None]
+    assert len(pad) == 1 and pad[0]["n_users"] == 1 and pad[0]["overflow"] is True
+    assert all(r["overflow"] is False for r in cr if r["cohort"] is not None)
+    # uniform (no hot key) with a cap: no summary row emitted
+    uni = df.where(F.col("user_id") != 99)
+    cr2 = E.cohort_retention(uni, width_sec=100, max_per_key=100).collect()
+    assert all(r["cohort"] is not None for r in cr2)
+    assert "overflow" not in E.cohort_retention(uni, width_sec=100).columns

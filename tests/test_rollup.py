@@ -317,3 +317,39 @@ def test_latency_by_transition(spark):
         ("user", "assistant"): (3, 20.0, 30, 20.0),   # 10, 20, 30
         ("assistant", "user"): (1, 30.0, 30, 30.0),
     }
+
+
+def test_steady_state_run_is_vocab_scan_free(spark, tmp_path, monkeypatch):
+    """VERDICT r03 task 4: the role/tool vocabulary is persisted table
+    metadata — the distinct pre-scan runs on the FIRST RollupJob.run for a
+    table, and second and later runs issue no distinct-scan job at all."""
+    from tsengine.operators import rollup as R_mod
+
+    src = str(tmp_path / "transcripts")
+    write_transcripts(spark, src, n_conv=6, base_turns=20, hot_factor=3)
+
+    calls = {"n": 0}
+    real_vocab = R_mod._vocab
+
+    def counting_vocab(df, col, max_size=256):
+        calls["n"] += 1
+        return real_vocab(df, col, max_size)
+
+    monkeypatch.setattr(R_mod, "_vocab", counting_vocab)
+
+    base = str(tmp_path / "job")
+    job1 = RollupJob(base, run_id="first")
+    job1.run(spark, src)
+    assert calls["n"] == 2  # role + tool, once each, first build only
+    golden = {t: _tier_rows(job1.read_tier(spark, t)) for t in ("1m", "1h", "1d")}
+
+    job2 = RollupJob(base, run_id="second")
+    job2.run(spark, src)
+    assert calls["n"] == 2  # steady state: zero distinct scans
+    for t in ("1m", "1h", "1d"):
+        assert _tier_rows(job2.read_tier(spark, t)) == golden[t], t
+
+    # explicit refresh re-scans and rewrites the metadata
+    job3 = RollupJob(base, run_id="third")
+    job3.run(spark, src, refresh_vocab=True)
+    assert calls["n"] == 4

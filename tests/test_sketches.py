@@ -222,3 +222,24 @@ def test_kmv_incremental_fold_across_batches(spark, events):
     )
     direct = sketches.kmv_sketch(events, width_sec=3600, k=k)
     assert _collect_sketches(folded) == _collect_sketches(direct)
+
+
+def test_kmv_merge_rejects_larger_k(spark, events):
+    """Merging to a k larger than the inputs were built with would need
+    hashes the fine tier discarded -> declared-parameter ValueError."""
+    sk = sketches.kmv_sketch(events, width_sec=3600, k=16)
+    with pytest.raises(ValueError, match="exceeds built_k"):
+        sketches.kmv_merge(sk, width_sec=86400, k=32, built_k=16)
+    # equal / smaller k fine
+    sketches.kmv_merge(sk, width_sec=86400, k=16, built_k=16)
+    sketches.kmv_merge(sk, width_sec=86400, k=8, built_k=16)
+
+
+def test_histogram_merge_empty_input_guard(spark):
+    """nbins inference on an empty sketch frame raises a clear ValueError
+    instead of TypeError; explicit nbins works and yields an empty result."""
+    empty = spark.createDataFrame([], "bucket long, hist array<long>")
+    with pytest.raises(ValueError, match="empty sketch frame"):
+        sketches.histogram_merge(empty, width_sec=3600)
+    out = sketches.histogram_merge(empty, width_sec=3600, nbins=5)
+    assert out.count() == 0 and out.columns == ["bucket", "hist"]

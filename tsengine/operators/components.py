@@ -21,11 +21,14 @@ Scale notes:
 - every round re-partitions edges by node id — uniform keys (doc ids), no
   skew amplification: large-star caps high-degree neighborhoods by
   emitting only (bigger-neighbor -> min) edges;
-- each round ends with ``localCheckpoint`` to truncate the lineage —
-  iterative plans otherwise grow exponentially and re-execute every prior
-  round at each action.  On a real cluster with executor loss you'd use a
-  reliable ``checkpoint()`` against the cluster FS instead (same call
-  site, flip ``reliable=True`` after ``setCheckpointDir``);
+- each round ends with a checkpoint to truncate the lineage — iterative
+  plans otherwise grow exponentially and re-execute every prior round at
+  each action.  Default is ``localCheckpoint`` (executor-local blocks,
+  zero FS traffic — fastest, but an executor loss mid-iteration kills the
+  lineage-truncated state); pass ``checkpoint_dir`` to take *reliable*
+  ``DataFrame.checkpoint()`` snapshots against a cluster filesystem
+  instead, which survive executor loss — the right setting for a long
+  CC run over 100 TB of candidate pairs;
 - convergence test = (count, bit_xor of xxhash64(edge)) fingerprint
   equality — one tiny agg action per round instead of a full ``exceptAll``
   anti-join (an extra shuffle per round at 100 TB).  A false-positive stop
@@ -91,6 +94,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 30,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list.
 
@@ -103,23 +107,42 @@ def connected_components(
     non-convergence raises instead of returning wrong clusters.  When
     ``stats`` is passed, ``stats["rounds"]`` records the rounds used —
     pinned by the chain-graph test to verify the logarithmic bound holds.
+
+    ``checkpoint_dir=None`` (default) truncates per-round lineage with
+    ``localCheckpoint`` — executor-memory blocks, fastest, but not
+    fault-tolerant: an executor loss mid-iteration is unrecoverable.
+    Passing a directory switches every round to *reliable*
+    ``DataFrame.checkpoint()`` against that path (HDFS/S3/local FS), so a
+    lost executor just re-reads the last round's snapshot — the production
+    setting for long CC runs over web-scale candidate sets.
     """
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = _ckpt(e)
     prev_fp = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _ckpt(_small_star(_large_star(e)))
         # the new checkpoint is materialized (eager), so the previous
         # round's pinned blocks are dead weight — release them, or every
         # round of every call stays in executor storage for the session's
-        # lifetime (measured: a bench session degrades 4x by tier time)
-        _unpersist_local_checkpoint(prev_e)
+        # lifetime (measured: a bench session degrades 4x by tier time).
+        # (Reliable checkpoints keep files, not blocks; nothing to release.)
+        if checkpoint_dir is None:
+            _unpersist_local_checkpoint(prev_e)
         fp = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("x"),
@@ -152,6 +175,7 @@ def dedup_resolve(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full-table dedup resolution: every doc gets its duplicate-cluster
     id (min doc id in its component; itself when it has no duplicates) and
@@ -164,7 +188,9 @@ def dedup_resolve(
     of the corpus — so Spark broadcasts it against the full table instead
     of shuffling 100 TB of docs.
     """
-    comp = connected_components(pairs, src=src, dst=dst)
+    comp = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")

@@ -139,7 +139,7 @@ def lsh_candidate_pairs(
 
 
 def lsh_pairs_incremental(
-    new_bands: DataFrame, index_bands: DataFrame
+    new_bands: DataFrame, index_bands: DataFrame, validate: bool = False
 ) -> DataFrame:
     """Incremental-ingest candidates: every pair with at least one side in
     the NEW batch — new x index (the stored :func:`lsh_band_rows` of the
@@ -150,7 +150,25 @@ def lsh_pairs_incremental(
 
     Cost shape: the join probes only the new batch's band buckets; doc ids
     must be disjoint between the two inputs (an id in both would pair with
-    itself and be dropped, hiding the collision)."""
+    itself and be dropped by the ``doc_id !=`` filter, silently hiding a
+    real collision).  ``validate=True`` enforces that precondition with a
+    cheap distinct-ids semi-join (one bounded extra action on the two
+    id sets, never the band rows) and raises listing the overlap count —
+    use it at ingest-pipeline boundaries; leave it off inside loops where
+    the caller already guarantees disjointness."""
+    if validate:
+        overlap = (
+            new_bands.select("doc_id")
+            .distinct()
+            .join(index_bands.select("doc_id").distinct(), "doc_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"lsh_pairs_incremental: {overlap} doc_id(s) present in both "
+                "new_bands and index_bands — self-pairs would be silently "
+                "dropped; dedupe the batch against the index first"
+            )
     a = new_bands.alias("a")
     b = index_bands.unionByName(new_bands).alias("b")
     return (

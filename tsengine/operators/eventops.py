@@ -22,6 +22,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _skew_split(df: DataFrame, by: str, max_per_key: int):
+    """(within-cap rows, overflow-key frame) for the per-key skew guard.
+
+    The per-key count is a map-side-combinable aggregate (skew-safe even on
+    a degenerate key), and the overflow-key set — keys whose event count
+    exceeds the cap — is tiny by construction, so it broadcasts into a
+    left_anti join: the hot key's rows are dropped from the expensive
+    per-key path WITHOUT any task ever materializing them together."""
+    counts = df.groupBy(by).agg(F.count("*").alias("_n"))
+    over = counts.where(F.col("_n") > int(max_per_key)).select(by)
+    ok = df.join(F.broadcast(over), by, "left_anti")
+    return ok, over
+
+
+def _guarded(df: DataFrame, by: str, max_per_key: int | None, compute):
+    """Skew-guard policy shared by every per-key collect/recursion operator
+    (ewma / cusum / holt / lttb / funnel): these ops place one key's entire
+    series in one task, so a single degenerate key (one conversation with
+    10^8 turns) OOMs that task.
+
+    ``max_per_key=None`` (default) leaves the plan byte-identical to the
+    unguarded operator.  With a cap, keys exceeding it are EXCLUDED from the
+    per-key computation (not truncated — truncation would still sort the hot
+    key in one task) and surface as one all-NULL row flagged
+    ``overflow=True``; within-cap results carry ``overflow=False``.  Cost
+    when enabled: one extra map-side-combine count + a broadcast anti-join —
+    no new wide shuffle."""
+    if max_per_key is None:
+        return compute(df)
+    ok, over = _skew_split(df, by, max_per_key)
+    out = compute(ok).withColumn("overflow", F.lit(False))
+    pad = over.select(
+        F.col(by),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out.schema.fields
+            if f.name not in (by, "overflow")
+        ],
+        F.lit(True).alias("overflow"),
+    )
+    return out.unionByName(pad)
+
+
 def sessionize(
     df: DataFrame,
     by: str = "user_id",
@@ -254,6 +297,7 @@ def ewma(
     val: str = "value",
     alpha: float = 0.3,
     tiebreak: str | None = None,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key:
     ``ewma_0 = x_0; ewma_i = alpha*x_i + (1-alpha)*ewma_{i-1}`` (pandas
@@ -266,7 +310,9 @@ def ewma(
     per-series operator pays.
 
     ``tiebreak`` orders duplicate timestamps deterministically.  Output:
-    input columns + ``ewma``.
+    input columns + ``ewma``.  ``max_per_key`` enables the shared skew
+    guard (see :func:`_guarded`): degenerate keys are excluded and flagged
+    instead of OOMing their task.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -290,7 +336,10 @@ def ewma(
         pdf = pdf.assign(ewma=e)
         return pdf
 
-    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+    return _guarded(
+        df, by, max_per_key,
+        lambda d: d.groupBy(by).applyInPandas(_per_key, schema=out_schema),
+    )
 
 
 def lttb_downsample(
@@ -299,6 +348,7 @@ def lttb_downsample(
     ts: str = "ep",
     val: str = "value",
     n_out: int = 100,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample (Steinarsson 2013): keep
     the first and last point; partition the interior into ``n_out - 2``
@@ -310,7 +360,8 @@ def lttb_downsample(
     the bucket's points, never per input row.
 
     Series with <= n_out points pass through unchanged.  Output columns:
-    (by, ts, val) of the selected points only.
+    (by, ts, val) of the selected points only.  ``max_per_key`` enables
+    the shared skew guard (:func:`_guarded`).
     """
     import numpy as np
     import pandas as pd
@@ -346,7 +397,10 @@ def lttb_downsample(
         return pdf.iloc[sel][[by, ts, val]]
 
     base = df.select(by, ts, val)
-    return base.groupBy(by).applyInPandas(_per_key, schema=base.schema)
+    return _guarded(
+        base, by, max_per_key,
+        lambda d: d.groupBy(by).applyInPandas(_per_key, schema=base.schema),
+    )
 
 
 def percentiles_approx(
@@ -390,6 +444,7 @@ def cusum(
     k: float = 0.5,
     h: float = 5.0,
     tiebreak: str | None = None,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Tabular CUSUM change-point detector (Page 1954): one-sided upper and
     lower cumulative sums against a ``target`` level with slack ``k``,
@@ -403,7 +458,8 @@ def cusum(
     :func:`ewma` the recursion is inherently sequential per series, so it's
     the applyInPandas shape — one key shuffle, vectorized numpy loop per
     group (the op order matches the SQL-recursion oracle exactly).  Output:
-    input columns + ``cusum_hi``, ``cusum_lo``, ``alarm``."""
+    input columns + ``cusum_hi``, ``cusum_lo``, ``alarm``.  ``max_per_key``
+    enables the shared skew guard (:func:`_guarded`)."""
     import pandas as pd
     from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
@@ -434,7 +490,10 @@ def cusum(
             cusum_hi=sh, cusum_lo=sl, alarm=(sh > h) | (sl > h)
         )
 
-    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+    return _guarded(
+        df, by, max_per_key,
+        lambda d: d.groupBy(by).applyInPandas(_per_key, schema=out_schema),
+    )
 
 
 def top_items(
@@ -476,6 +535,7 @@ def cohort_retention(
     ts: str = "ep",
     width_sec: int = 86400,
     max_offset: int | None = None,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Cohort retention matrix: users grouped by their FIRST active bucket
     (the cohort), counted again at each later bucket they return in.
@@ -495,10 +555,25 @@ def cohort_retention(
        is one distinct (user, bucket), so count(*) IS the distinct-user
        count; the post-agg cohort-size window runs over the tiny
        (cohort, offset) matrix.
+
+    The collect_set is bounded by DISTINCT buckets, not events, so skew
+    needs an unbounded timespan rather than a hot key — but a degenerate
+    user spanning millions of buckets still lands whole in one task.
+    ``max_per_key`` (cap on a user's raw EVENT count) excludes such users
+    via the shared :func:`_skew_split` guard; because users don't appear
+    in the output matrix, the excluded population surfaces as ONE summary
+    row ``(cohort=NULL, offset=NULL, n_users=<excluded count>,
+    retention=NULL, overflow=True)`` — emitted only when non-empty — and
+    all matrix rows gain ``overflow=False``.  Default None: plan
+    unchanged.
     """
     b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
+    src = df.select(F.col(key).alias("_k"), b.alias("_b"))
+    over = None
+    if max_per_key is not None:
+        src, over = _skew_split(src, "_k", max_per_key)
     per_user = (
-        df.select(F.col(key).alias("_k"), b.alias("_b"))
+        src
         .groupBy("_k")
         .agg(F.collect_set("_b").alias("_bs"))
         .select(
@@ -515,7 +590,7 @@ def cohort_retention(
         F.count("*").alias("n_users")
     )
     w = Window.partitionBy("cohort")
-    return counts.select(
+    out = counts.select(
         "cohort",
         "offset",
         "n_users",
@@ -525,6 +600,20 @@ def cohort_retention(
             6,
         ).alias("retention"),
     )
+    if over is None:
+        return out
+    pad = (
+        over.agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") > 0)
+        .select(
+            F.lit(None).cast("long").alias("cohort"),
+            F.lit(None).cast("long").alias("offset"),
+            F.col("n_users"),
+            F.lit(None).cast("double").alias("retention"),
+            F.lit(True).alias("overflow"),
+        )
+    )
+    return out.withColumn("overflow", F.lit(False)).unionByName(pad)
 
 
 def funnel(
@@ -534,6 +623,7 @@ def funnel(
     ts: str = "ep",
     event_col: str = "event_type",
     within_sec: int | None = None,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered-sequence conversion funnel: the earliest time each user
     completes step i AFTER (>=, so same-second chains count) their step
@@ -551,9 +641,10 @@ def funnel(
     ``aggregate`` over the (ts, step)-sorted array with K-slot state — no
     Python, no window, no self-joins (a K-way chained-join formulation
     pays K-1 extra shuffles).  Per-user array size is bounded by that
-    user's funnel-event count; truly pathological hot keys are the same
-    skew problem as every per-user op here (AQE skew handling, or
-    pre-filter to the analysis window).
+    user's funnel-event count; ``max_per_key`` caps it with the shared
+    skew guard (:func:`_guarded`) — a degenerate user (funnel-event count
+    over the cap, AFTER the event-type filter) surfaces as one row with
+    NULL step times and ``overflow=True`` instead of OOMing a task.
     """
     if len(set(steps)) != len(steps) or not steps:
         raise ValueError("steps must be non-empty and distinct")
@@ -564,9 +655,6 @@ def funnel(
     ev = (
         df.select(F.col(by), F.col(ts).alias("_t"), step_idx.alias("_s"))
         .where(F.col("_s").isNotNull())
-    )
-    arr = ev.groupBy(by).agg(
-        F.sort_array(F.collect_list(F.struct("_t", "_s"))).alias("_ev")
     )
 
     def _upd(acc, e):
@@ -587,15 +675,25 @@ def funnel(
         return F.array(*[slot(i) for i in range(k)])
 
     init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
-    st = arr.select(by, F.aggregate("_ev", init, _upd).alias("_st"))
-    out = st.select(
-        by,
-        *[F.element_at("_st", i + 1).alias(f"t_{s}") for i, s in enumerate(steps)],
-        F.size(F.filter("_st", lambda x: x.isNotNull())).cast("long").alias(
-            "steps_reached"
-        ),
-    )
-    return out.where(F.col(f"t_{steps[0]}").isNotNull())
+
+    def _compute(evd: DataFrame) -> DataFrame:
+        arr = evd.groupBy(by).agg(
+            F.sort_array(F.collect_list(F.struct("_t", "_s"))).alias("_ev")
+        )
+        st = arr.select(by, F.aggregate("_ev", init, _upd).alias("_st"))
+        out = st.select(
+            by,
+            *[
+                F.element_at("_st", i + 1).alias(f"t_{s}")
+                for i, s in enumerate(steps)
+            ],
+            F.size(F.filter("_st", lambda x: x.isNotNull())).cast("long").alias(
+                "steps_reached"
+            ),
+        )
+        return out.where(F.col(f"t_{steps[0]}").isNotNull())
+
+    return _guarded(ev, by, max_per_key, _compute)
 
 
 def hopping_rollup(
@@ -793,6 +891,7 @@ def holt_smooth(
     alpha: float = 0.3,
     beta: float = 0.1,
     tiebreak: str | None = None,
+    max_per_key: int | None = None,
 ) -> DataFrame:
     """Holt double exponential smoothing per key (level + trend):
 
@@ -805,7 +904,8 @@ def holt_smooth(
     applyInPandas recursion shape as ewma/cusum: one key shuffle, then a
     bounded in-memory loop per series; the DuckDB oracle carries (l, b)
     through a RECURSIVE CTE with the identical op order so doubles match
-    bitwise.  Output: input columns + ``level``, ``trend``."""
+    bitwise.  Output: input columns + ``level``, ``trend``.
+    ``max_per_key`` enables the shared skew guard (:func:`_guarded`)."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -827,7 +927,10 @@ def holt_smooth(
             tr[i] = bb * (lv[i] - prev) + (1.0 - bb) * tr[i - 1]
         return pdf.assign(level=lv, trend=tr)
 
-    return df.groupBy(by).applyInPandas(_per_key, schema=out_schema)
+    return _guarded(
+        df, by, max_per_key,
+        lambda d: d.groupBy(by).applyInPandas(_per_key, schema=out_schema),
+    )
 
 
 def session_stats(
@@ -865,6 +968,7 @@ def decayed_counts(
     ref_ts: int | None = None,
     width_sec: int = 86400,
     decay: float = 0.5,
+    on_future: str = "raise",
 ) -> DataFrame:
     """Exponentially time-decayed item scores per key — the ranking/feed
     primitive: score = Σ decay^age_buckets over the key's events, so
@@ -876,14 +980,37 @@ def decayed_counts(
     ``ref_ts`` anchors age 0 and must be supplied for a deterministic
     result (deriving it from max(ts) would make every score depend on the
     newest event).  With the default ``decay=0.5`` every term is a dyadic
-    rational and all partial sums are EXACT in binary floating point (ages
-    spanning < 53 buckets), so independent engines agree bitwise — no
-    rounding tolerance needed."""
+    rational and all partial sums are EXACT in binary floating point —
+    PRECONDITION: the data's age span must stay under 53 buckets (the
+    double mantissa); beyond that, map-side summation order makes the low
+    bits nondeterministic and any zero-tolerance cross-engine comparison
+    goes flaky.  Callers comparing bitwise must pin their span (see
+    q_decayed_counts).
+
+    Events NEWER than ``ref_ts`` would get weights decay^(-age) > 1;
+    ``on_future`` picks the policy: ``"raise"`` (default — fail the job at
+    execution via an in-plan guard, no extra action), ``"clamp"`` (age
+    floors at 0 so future events weigh 1.0), or ``"allow"`` (explicitly
+    accept super-unit weights)."""
     if ref_ts is None:
         raise ValueError("ref_ts is required (deterministic age anchor)")
+    if on_future not in ("raise", "clamp", "allow"):
+        raise ValueError(f"on_future must be raise|clamp|allow, got {on_future!r}")
     age = (
         F.floor(F.lit(int(ref_ts)) / width_sec) - F.floor(F.col(ts) / width_sec)
     ).cast("double")
+    if on_future == "clamp":
+        age = F.greatest(age, F.lit(0.0))
+    elif on_future == "raise":
+        age = F.when(
+            age < 0,
+            F.raise_error(
+                F.lit(
+                    "decayed_counts: event newer than ref_ts (weight would "
+                    "exceed 1); pass on_future='clamp' or 'allow'"
+                )
+            ).cast("double"),
+        ).otherwise(age)
     return (
         df.groupBy(by, item)
         .agg(F.sum(F.pow(F.lit(float(decay)), age)).alias("score"),

@@ -103,16 +103,33 @@ def kmv_sketch(
 
 
 def kmv_merge(
-    sketches: DataFrame, width_sec: int = 86400, k: int = 64
+    sketches: DataFrame,
+    width_sec: int = 86400,
+    k: int = 64,
+    built_k: int | None = None,
 ) -> DataFrame:
     """Roll sketches up to a coarser bucket: explode, dedup, re-rank.
 
     ``k`` must not exceed the k the inputs were built with (a larger k
-    would need hashes the fine tier discarded).  The result is bit-for-bit
-    the sketch :func:`kmv_sketch` would build directly from raw data at
-    ``width_sec`` — the mergeability identity that makes distinct counts a
-    first-class tier column.
+    would need hashes the fine tier discarded — the merge would silently
+    produce truncation-biased estimates, and a merged size < k would then
+    be misread by :func:`kmv_estimate` as the exact-count branch).  Pass
+    ``built_k`` (the k the input sketches were created with; defaults to
+    ``k``) so the contract is checked at plan time: a sketch of size s < k
+    is indistinguishable from an exact small-bucket sketch by inspection,
+    so this is a declared-parameter check, not a data scan.  The result is
+    bit-for-bit the sketch :func:`kmv_sketch` would build directly from
+    raw data at ``width_sec`` — the mergeability identity that makes
+    distinct counts a first-class tier column.
     """
+    if built_k is None:
+        built_k = k
+    if k > built_k:
+        raise ValueError(
+            f"kmv_merge: requested k={k} exceeds built_k={built_k}; the fine "
+            "tier discarded hashes beyond its k, so merging to a larger k "
+            "would yield truncation-biased estimates"
+        )
     ex = sketches.select(
         _bucket("bucket", width_sec).alias("bucket"),
         F.explode("kmv").alias("h"),
@@ -194,9 +211,18 @@ def histogram_merge(
 ) -> DataFrame:
     """Fold fine-tier histograms into a coarser bucket: element-wise count
     sums, again one codegen HashAggregate over per-slot conditional sums —
-    never a collect_list of arrays."""
+    never a collect_list of arrays.
+
+    Prefer passing ``nbins`` explicitly (len(edges)+1): inferring it costs
+    an extra Spark action and is impossible on an empty sketch frame."""
     if nbins is None:
-        nbins = len(hists.select("hist").first()["hist"])
+        row = hists.select("hist").first()
+        if row is None:
+            raise ValueError(
+                "histogram_merge: cannot infer nbins from an empty sketch "
+                "frame — pass nbins=len(edges)+1 explicitly"
+            )
+        nbins = len(row["hist"])
     ex = hists.select(
         _bucket("bucket", width_sec).alias("bucket"), F.col("hist")
     )

@@ -168,19 +168,31 @@ def q_dedup_clusters(spark, sf_dir):
     jaccard confirm (>= 0.5) -> distributed connected components
     (large-star/small-star) -> canonical min-id doc per duplicate cluster,
     resolved over the whole documents table.  The DuckDB oracle recomputes
-    the same pair set and closes it transitively with a recursive CTE."""
+    the same pair set and closes it transitively with a recursive CTE.
+
+    The CONFIRMED pairs are persisted through the snapshot table before the
+    CC closure (the production shape: pairs are the expensive output of the
+    LSH+confirm stages, and the iterative CC consumer re-reads them — a
+    durable table survives executor loss where a localCheckpoint would not,
+    and later incremental dedup batches append to the same pair table)."""
+    import tempfile
+
     from tsengine.operators.components import dedup_resolve
+    from tsengine.sources.snapshots import SnapshotTable
 
     docs = _docs(spark, sf_dir)
     cand = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8)
     # the confirm stage references cand twice (semi-join ids + the pair
-    # join) and connected_components materializes the confirmed pairs a
-    # third time — checkpoint the tiny candidate frame once instead of
+    # join) — checkpoint the tiny candidate frame once instead of
     # re-running the LSH chain per reference (right call at 100 TB too:
     # candidates are the small output of the heavy stage)
     cand = cand.localCheckpoint(eager=True)
     pairs = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
-    out = dedup_resolve(docs, pairs)
+    pair_tbl = SnapshotTable(
+        tempfile.mkdtemp(prefix="tseng_pairs_"), ts_col=None
+    )
+    pair_tbl.append(pairs)
+    out = dedup_resolve(docs, pair_tbl.read(spark))
     return out.select(
         "doc_id", "component", F.col("is_canonical").cast("long").alias("is_canonical")
     )
@@ -1027,7 +1039,15 @@ DECAY_REF = 1706659200  # API_NOW anchor (2024-01-31)
 def q_decayed_counts(spark, sf_dir):
     """Exponentially time-decayed event-type scores per user (0.5/day):
     every term is a dyadic rational so both engines' sums are exact —
-    value-checked bitwise against the DuckDB power-sum mirror."""
+    value-checked bitwise against the DuckDB power-sum mirror.
+
+    Bitwise-exactness preconditions (both hold for the fixed Jan-2024
+    events range vs DECAY_REF = Jan-31): no event is newer than DECAY_REF
+    (enforced in-plan by decayed_counts' default on_future='raise'), and
+    the age span is < 53 daily buckets so every partial sum is an exactly
+    representable dyadic rational regardless of map-side summation order.
+    A future dataset spanning more must switch the oracle comparison to a
+    rounded tolerance."""
     from tsengine.operators.eventops import decayed_counts
 
     ev = _typed_events(spark, sf_dir)
