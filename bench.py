@@ -311,6 +311,10 @@ def main():
         "incremental_refresh_sec": round(refresh_sec, 3),
         "incremental_refresh_pts_per_sec": round(inc_rows / refresh_sec, 1),
         "incremental_refresh_rows": inc_rows,
+        # per-component wall clock of the timed refresh: the components run
+        # CONCURRENTLY (r04), so the refresh total tracks the slowest
+        # component + shared-cache materialization, not the sum
+        "incremental_refresh_breakdown": dict(mat.last_refresh_timings),
         "incremental_tier_files_reused": reused,
         "incremental_tier_files_rewritten": rewritten,
         "cpus": int(cpus),

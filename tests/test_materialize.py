@@ -164,3 +164,36 @@ def test_retention_policy(spark, src_mat):
     src.append(_turns(spark, ["new2"], t0=now, n=10))
     mat.refresh(spark)
     assert mat.read_tier(spark, "1d").filter(F.col("conv_id") == "new2").count() == 1
+
+
+def test_multiday_collapse_knob(spark, tmp_path):
+    """min_rows_per_file > 1 collapses a sparse multi-day write into fewer
+    files with IDENTICAL tier contents; the default (1) stays day-granular
+    (one file per day -> exact day-cutoff retention).  Also pins the
+    per-component refresh timing breakdown the bench publishes."""
+    t0 = 1_600_000_000
+    # 6 sparse days, a handful of turns each
+    days = [_turns(spark, [f"c{d}"], t0=t0 + d * 86400, n=8) for d in range(6)]
+    full = days[0]
+    for d in days[1:]:
+        full = full.unionByName(d)
+
+    src1 = SnapshotTable(str(tmp_path / "s1"))
+    fine = MaterializedTiers(src1, str(tmp_path / "m1"))
+    src1.append(full)
+    fine.refresh(spark)
+    assert set(fine.last_refresh_timings) == {"convstate", "1m", "1h", "1d"}
+
+    src2 = SnapshotTable(str(tmp_path / "s2"))
+    coarse = MaterializedTiers(src2, str(tmp_path / "m2"))
+    coarse.min_rows_per_file = 1_000_000
+    src2.append(full)
+    coarse.refresh(spark)
+
+    for t in R.TIER_ORDER:
+        man_f = fine.tiers[t].snapshot(fine.tiers[t].current_snapshot_id())
+        man_c = coarse.tiers[t].snapshot(coarse.tiers[t].current_snapshot_id())
+        assert len(man_f["files"]) == 6, (t, len(man_f["files"]))  # day files
+        assert len(man_c["files"]) == 1, (t, len(man_c["files"]))  # collapsed
+        a, b = _norm(fine.read_tier(spark, t)), _norm(coarse.read_tier(spark, t))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, t

@@ -88,11 +88,20 @@ def _ranged(df: DataFrame, n: int | None = None) -> DataFrame:
     - ``n`` (when the caller knows the write's day span from manifest
       stats) caps the partition count: an incremental refresh rewriting a
       two-day slice should emit ~2 files, not shuffle-partition-count tiny
-      ones."""
+      ones.
+    - ``n == 1`` short-circuits to ``repartition(1)``: repartitionByRange
+      plans a separate RANGE-SAMPLING job that re-executes the upstream
+      plan once before the write — pure fixed cost when everything lands
+      in one partition anyway (measured: the dominant per-commit overhead
+      of small incremental refreshes).  A single file trivially holds only
+      whole days, so the day-wholeness contract is preserved."""
     if n is None:
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(int(n), 1024))
+    if n == 1:
+        return df.repartition(1)
     day = F.floor(F.col("bucket") / F.lit(86400))
-    return df.repartitionByRange(max(1, min(int(n), 1024)), day)
+    return df.repartitionByRange(n, day)
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -106,12 +115,26 @@ class MaterializedTiers:
     """Materialized 1m/1h/1d rollups + conv state over a source
     :class:`SnapshotTable` of transcripts, refreshed incrementally."""
 
+    # lower bound on rows per written tier file: a write's partition count
+    # is min(day span, ceil(row upper bound / this)).  The default 1 keeps
+    # files DAY-GRANULAR (the Iceberg day() partition-spec analogue), which
+    # is what makes day-cutoff retention exact — truncate_before can only
+    # drop whole files, so a file spanning N days expires only when ALL N
+    # have.  Raise it explicitly to collapse sparse multi-day slices into
+    # fewer files when coarser retention granularity is acceptable (at
+    # 100 TB target the usual 100-200 MB file size); day-interior
+    # boundaries are still never straddled.
+    min_rows_per_file: int = 1
+
     def __init__(self, source: SnapshotTable, state_dir: str,
                  role_vocab: list | None = None, tool_vocab: list | None = None):
         self.source = source
         self.state_dir = state_dir
         self.role_vocab = role_vocab
         self.tool_vocab = tool_vocab
+        # wall-clock per component of the LAST refresh() call (diagnostics;
+        # bench reports it as the incremental-refresh breakdown)
+        self.last_refresh_timings: dict[str, float] = {}
         os.makedirs(os.path.join(state_dir, "_lineage"), exist_ok=True)
         # tier tables index their manifest stats on the bucket column, so
         # time-bounded tier reads and retention prune manifest-side
@@ -201,8 +224,13 @@ class MaterializedTiers:
     def _advance_component(self, spark: SparkSession, component: str,
                            from_id: int, to_id: int,
                            lat: DataFrame | None = None,
-                           inc_1m: DataFrame | None = None) -> None:
+                           inc_1m: DataFrame | None = None,
+                           inc_rows_hint: int | None = None) -> None:
         in_rows, in_bytes, min_ts, max_ts = self._added_stats(from_id, to_id)
+        # tightest known upper bound on the increment's tier rows: the raw
+        # manifest row count, or the shared 1m rollup's counted rows when
+        # refresh() already paid that one cached action
+        inc_ub = in_rows if inc_rows_hint is None else min(in_rows, inc_rows_hint)
         if lat is None:
             lat = self._increment_with_latency(spark, from_id, to_id)
         props = {_SRC_PROP: to_id}
@@ -255,17 +283,34 @@ class MaterializedTiers:
             )
 
         tbl = self.tiers[component]
-        # output partition count sized to the write's actual day span
-        # (action-free, from manifest stats): a refresh rewriting a two-day
-        # slice emits ~2 day-files, not shuffle-partition-count tiny ones
+        # output partition count sized to the write's actual day span AND
+        # its row upper bound, both action-free from manifest stats: a
+        # refresh rewriting a two-day slice emits ~2 day-files, and a
+        # SPARSE 25-day slice of a few thousand rollup rows emits ONE file
+        # instead of 25 tiny ones (measured r03→r04: 75 files per refresh
+        # collapsed to ~5, and every n==1 write also skips the
+        # repartitionByRange sampling job).  Files still hold only whole
+        # consecutive days, so manifest pruning and day-cutoff retention
+        # stay exact at file granularity.
         def _days(lo, hi):
             if lo is None or hi is None:
                 return None
             return int(hi // 86400 - lo // 86400) + 1
 
+        def _parts(days, rows_ub):
+            # rows_ub is an upper bound on the written rows (rollup output
+            # never exceeds its input turns; slice rows come straight from
+            # the manifest) — at 100 TB min_rows_per_file targets the usual
+            # 100-200 MB file size instead
+            if days is None:
+                return None
+            return max(1, min(days, -(-int(rows_ub) // self.min_rows_per_file)))
+
         if tbl.current_snapshot_id() is None:
-            sid = tbl.append(_ranged(inc_tier, _days(min_ts, max_ts)),
-                             properties=props)
+            sid = tbl.append(
+                _ranged(inc_tier, _parts(_days(min_ts, max_ts), inc_ub)),
+                properties=props,
+            )
             reused = overlap = []
         else:
             width = R.TIERS[component]
@@ -279,6 +324,7 @@ class MaterializedTiers:
             cur = tbl.snapshot(tbl.current_snapshot_id())
             overlap, reused = [], []
             lo_all, hi_all = lo_b, hi_b
+            slice_rows = 0
             for f in cur["files"]:
                 misses = (
                     lo_b is not None
@@ -286,15 +332,19 @@ class MaterializedTiers:
                     and (f["max_ts"] < lo_b or f["min_ts"] > hi_b)
                 )
                 (reused if misses else overlap).append(f["path"])
-                if not misses and f["min_ts"] is not None:
-                    lo_all = f["min_ts"] if lo_all is None else min(lo_all, f["min_ts"])
-                    hi_all = f["max_ts"] if hi_all is None else max(hi_all, f["max_ts"])
+                if not misses:
+                    slice_rows += f["rows"]
+                    if f["min_ts"] is not None:
+                        lo_all = f["min_ts"] if lo_all is None else min(lo_all, f["min_ts"])
+                        hi_all = f["max_ts"] if hi_all is None else max(hi_all, f["max_ts"])
             slice_df = tbl._read_files(
                 spark, [os.path.join(tbl.path, p) for p in overlap], cur["schema"]
             )
             merged = R.merge_tier(slice_df, inc_tier)
-            sid = tbl.replace_files(_ranged(merged, _days(lo_all, hi_all)),
-                                    overlap, properties=props)
+            sid = tbl.replace_files(
+                _ranged(merged,
+                        _parts(_days(lo_all, hi_all), slice_rows + inc_ub)),
+                overlap, properties=props)
         man = tbl.snapshot(sid)
         self._lineage(component, from_id, to_id, in_rows, in_bytes,
                       man["added_rows"], man["added_bytes"],
@@ -306,8 +356,23 @@ class MaterializedTiers:
         a kill at any point; completed component commits are never repeated.
 
         fail_after=n raises InjectedFailure after n component commits
-        (kill-resume tests).  Returns final component positions."""
+        (kill-resume tests).  Returns final component positions.
+
+        Cost shape (profiled at sf0.1, BENCH/BASELINE.md): an incremental
+        refresh is fixed-cost dominated — per-component Spark job launches,
+        not compute — so the components advancing over the SAME increment
+        run CONCURRENTLY (they fold into four disjoint tables from one
+        shared cached 1m rollup; Spark's scheduler interleaves the jobs and
+        a kill mid-flight leaves an arbitrary committed subset, which the
+        positions loop already reconciles).  When multi-day file collapse
+        is enabled (min_rows_per_file > 1) the shared 1m rollup is counted
+        first — the row upper bound that lets coarse tiers write single
+        files and skip the repartitionByRange sampling job; with the
+        default day-granular files that extra job wave is skipped.
+        ``fail_after`` forces the sequential path (deterministic commit
+        order for kill-resume tests)."""
         head = self.source.current_snapshot_id()
+        self.last_refresh_timings = {}
         if head is None:
             return self.positions()
         commits = 0
@@ -322,35 +387,75 @@ class MaterializedTiers:
             # the increment's latency plane AND its 1m rollup are shared by
             # every component advancing over the same (from, target) —
             # compute once, persist; 1h/1d reaggregate from the cached 1m
-            memo: dict[int, tuple[DataFrame, DataFrame]] = {}
-            for c in COMPONENTS:
-                if pos[c] < target:
-                    if pos[c] not in memo:
-                        lat = self._increment_with_latency(
-                            spark, pos[c], target
-                        ).persist()
-                        t1m = R.rollup_raw_to_tier(
-                            lat.filter(~F.col("_anchor")), "1m",
-                            role_vocab=self.role_vocab,
-                            tool_vocab=self.tool_vocab,
-                        ).persist()
-                        memo[pos[c]] = (lat, t1m)
-                    lat, t1m = memo[pos[c]]
-                    self._advance_component(
-                        spark, c, pos[c], target, lat=lat,
-                        inc_1m=None if c == "convstate" else t1m,
+            memo: dict[int, tuple[DataFrame, DataFrame, int]] = {}
+            pending = [c for c in COMPONENTS if pos[c] < target]
+            for c in pending:
+                if pos[c] not in memo:
+                    lat = self._increment_with_latency(
+                        spark, pos[c], target
+                    ).persist()
+                    t1m = R.rollup_raw_to_tier(
+                        lat.filter(~F.col("_anchor")), "1m",
+                        role_vocab=self.role_vocab,
+                        tool_vocab=self.tool_vocab,
+                    ).persist()
+                    # the increment's rollup row count (tier writes' row
+                    # upper bound) only matters when multi-day file
+                    # collapse is enabled — otherwise skip the extra job
+                    # wave and let the concurrent advances materialize the
+                    # shared cache
+                    t1m_rows = (
+                        t1m.count() if self.min_rows_per_file > 1 else None
                     )
-                    commits += 1
-                    if fail_after is not None and commits >= fail_after:
-                        for pair in memo.values():
-                            for df in pair:
-                                df.unpersist()
-                        raise InjectedFailure(
-                            f"injected failure after {commits} component commits"
-                        )
-            for pair in memo.values():
-                for df in pair:
-                    df.unpersist()
+                    memo[pos[c]] = (lat, t1m, t1m_rows)
+
+            def _advance_one(c: str) -> None:
+                lat, t1m, t1m_rows = memo[pos[c]]
+                t0 = time.perf_counter()
+                self._advance_component(
+                    spark, c, pos[c], target, lat=lat,
+                    inc_1m=None if c == "convstate" else t1m,
+                    inc_rows_hint=None if c == "convstate" else t1m_rows,
+                )
+                self.last_refresh_timings[c] = round(
+                    self.last_refresh_timings.get(c, 0.0)
+                    + (time.perf_counter() - t0), 3)
+
+            try:
+                if fail_after is None and len(pending) > 1:
+                    # pin the parquet timestamp conf for the whole parallel
+                    # section: _write_data's per-write set/restore would
+                    # race across threads otherwise
+                    key = "spark.sql.parquet.outputTimestampType"
+                    prev = spark.conf.get(key, None)
+                    spark.conf.set(key, "TIMESTAMP_MICROS")
+                    try:
+                        from concurrent.futures import ThreadPoolExecutor
+                        with ThreadPoolExecutor(len(pending)) as ex:
+                            futs = [ex.submit(_advance_one, c) for c in pending]
+                            errs = [f.exception() for f in futs]
+                        for e in errs:
+                            if e is not None:
+                                raise e
+                    finally:
+                        if prev is None:
+                            spark.conf.unset(key)
+                        else:
+                            spark.conf.set(key, prev)
+                    commits += len(pending)
+                else:
+                    for c in pending:
+                        _advance_one(c)
+                        commits += 1
+                        if fail_after is not None and commits >= fail_after:
+                            raise InjectedFailure(
+                                f"injected failure after {commits} "
+                                "component commits"
+                            )
+            finally:
+                for lat, t1m, _ in memo.values():
+                    lat.unpersist()
+                    t1m.unpersist()
 
     # ---------------- reads & retention ----------------
 
