@@ -479,3 +479,52 @@ def test_lsh_incremental_validate_overlap(spark, docs):
     b = {(r["doc_a"], r["doc_b"])
          for r in dedup.lsh_pairs_incremental(nb2, idx).collect()}
     assert a == b
+
+
+def test_ivf_recall_curve(spark):
+    """VERDICT r03 task 8: measured IVF recall@10 vs nprobe against
+    brute-force on the sf0.01 embeddings (trained 16-cell codebook,
+    seed-deterministic).  Measured curve: nprobe 2/4/8 -> 0.425/0.625/0.775
+    mean recall; pinned with tolerance, monotone, and exhaustive probing
+    (nprobe = n_cells) must equal brute force exactly.  Documented next to
+    q_knn_ivf (driver_queries_data.py)."""
+    import numpy as np
+
+    from tsengine.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = S.train_centroids(emb, n_cells=16, iters=5, seed=42)
+    assigned = S.ivf_assign(emb, cents).persist()
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id") % 151 == 0)
+                      .orderBy("vec_id").limit(4).collect()]
+    K = 10
+    cents_np = np.array(cents)
+    truth = [
+        {r["vec_id"] for r in S.cosine_topk_bruteforce(emb, qv, k=K).collect()}
+        for qv in qs
+    ]
+
+    def mean_recall(nprobe):
+        recs = []
+        for qv, tr in zip(qs, truth):
+            order = (((cents_np - np.array(qv)) ** 2).sum(1)) \
+                .argsort(kind="stable")[:nprobe].tolist()
+            got = {r["vec_id"]
+                   for r in S.cosine_topk_bruteforce(
+                       assigned.filter(F.col("ivf_cell").isin(order)),
+                       qv, k=K).collect()}
+            recs.append(len(got & tr) / K)
+        return sum(recs) / len(recs)
+
+    curve = {p: mean_recall(p) for p in (2, 4, 8, 16)}
+    assigned.unpersist()
+    # measured pins (±0.15 tolerance for codebook/testdata drift)
+    assert abs(curve[2] - 0.425) <= 0.15, curve
+    assert abs(curve[4] - 0.625) <= 0.15, curve
+    assert abs(curve[8] - 0.775) <= 0.15, curve
+    # monotone: more probes never lose recall
+    assert curve[2] <= curve[4] <= curve[8] <= curve[16], curve
+    # exhaustive probing IS brute force
+    assert curve[16] == 1.0, curve
