@@ -28,7 +28,7 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 JOB = r"""
-import json, sys, time
+import json, os, sys, time
 # NO repo path insert: tsengine must resolve from the --py-files zip, on the
 # driver and inside every executor's Python worker
 from pyspark.sql import SparkSession
@@ -36,26 +36,84 @@ from tsengine.operators import rollup as R
 from tsengine import compress as C
 
 tdir = sys.argv[1]
+mode = sys.argv[2] if len(sys.argv) > 2 else "compress"  # compress|nocompress
+# optional "subset=K/D": weak-scaling slice — keep K of D deterministic
+# conversation buckets so per-executor work stays constant as N grows
+subset = None
+for a in sys.argv[3:]:
+    if a.startswith("subset="):
+        subset = tuple(int(x) for x in a[len("subset="):].split("/"))
 spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
+evt_dir = spark.conf.get("spark.eventLog.dir", None)
 raw = spark.read.parquet(tdir)
+if subset:
+    from pyspark.sql import functions as F
+    k, d = subset
+    if k < d:
+        raw = raw.where(F.pmod(F.xxhash64("conv_id"), F.lit(d)) < k)
 n = raw.count()
 rv = R._vocab(raw, "role"); tv = R._vocab(raw, "tool")
 # warmup: force executors up, codegen compiled, heaps faulted BEFORE timing
 spark.range(2_000_000).selectExpr("id % 1000 k", "id v").groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
 
+execs = spark.sparkContext.defaultParallelism
+t0_wall_ms = time.time() * 1000  # stage filter: timed region only
 t0 = time.perf_counter()
 turns = R.with_latency(raw)
 tiers = R.build_all_tiers(turns, persist=True, role_vocab=rv, tool_vocab=tv)
 tiers["1m"].unionByName(tiers["1h"]).unionByName(tiers["1d"]) \
     .write.format("noop").mode("overwrite").save()
-series = turns.selectExpr("conv_id as series_id", "epoch",
-                          "coalesce(value, 0.0) as value")
-C.compress_series(series).write.format("noop").mode("overwrite").save()
+if mode == "compress":
+    series = turns.selectExpr("conv_id as series_id", "epoch",
+                              "coalesce(value, 0.0) as value")
+    C.compress_series(series).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
-print(json.dumps({"execs": spark.sparkContext.defaultParallelism,
-                  "turns": n, "sec": dt, "pps": n / dt}))
 spark.stop()
+
+# per-stage shuffle bytes from the event log (public Spark event schema):
+# TaskEnd carries the task's shuffle read/write byte metrics; StageCompleted
+# carries the stage name.  Aggregated driver-side after the session closes.
+stages = {}
+if evt_dir:
+    path = os.path.join(evt_dir.replace("file:", ""), app_id)
+    if not os.path.exists(path) and os.path.exists(path + ".inprogress"):
+        path += ".inprogress"
+    names = {}
+    timed = set()  # stage ids submitted inside the timed region
+    with open(path) as f:
+        for line in f:
+            try:
+                e = json.loads(line)
+            except ValueError:
+                continue
+            ev = e.get("Event")
+            if ev == "SparkListenerStageCompleted":
+                si = e["Stage Info"]
+                names[si["Stage ID"]] = si["Stage Name"].split("\n")[0]
+                if (si.get("Submission Time") or 0) >= t0_wall_ms:
+                    timed.add(si["Stage ID"])
+            elif ev == "SparkListenerTaskEnd":
+                sid = e["Stage ID"]
+                tm = e.get("Task Metrics") or {}
+                sw = (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+                srm = tm.get("Shuffle Read Metrics") or {}
+                sr = srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
+                ib = (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                cur = stages.setdefault(sid, [0, 0, 0])
+                cur[0] += sw; cur[1] += sr; cur[2] += ib
+    stages = {
+        sid: {"name": names.get(sid, "?"), "shuffle_write_bytes": v[0],
+              "shuffle_read_bytes": v[1], "input_bytes": v[2]}
+        for sid, v in sorted(stages.items())
+        if (v[0] or v[1]) and sid in timed
+    }
+out = {"execs": execs, "turns": n, "sec": dt, "pps": n / dt, "mode": mode,
+       "shuffle_write_total": sum(s["shuffle_write_bytes"] for s in stages.values()),
+       "shuffle_read_total": sum(s["shuffle_read_bytes"] for s in stages.values()),
+       "stages": stages}
+print(json.dumps(out))
 """
 
 
@@ -106,10 +164,13 @@ def spark_submit_bin() -> str:
 JVM_OPTS = "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
 
 
-def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str, job_arg: str) -> dict:
+def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str,
+              job_arg: str, extra_args: list[str] | None = None) -> dict:
     service_cores = 2  # driver JVM (hosts the in-process master/worker daemons)
     pin = list(range(min(n_exec * exec_cores + service_cores, os.cpu_count())))
     mem_mb = 1024 + 1024 * exec_cores
+    evt_dir = "/tmp/tsengine_evtlog"
+    os.makedirs(evt_dir, exist_ok=True)
     cmd = [
         "taskset", "-c", ",".join(map(str, pin)),
         spark_submit_bin(),
@@ -127,7 +188,15 @@ def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str, job_ar
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.ui.enabled=false",
-        job_path, job_arg,
+        # event log feeds the per-stage shuffle-bytes report (parsed by the
+        # job after spark.stop(); async JSON writes, negligible overhead)
+        "--conf", "spark.eventLog.enabled=true",
+        "--conf", f"spark.eventLog.dir=file:{evt_dir}",
+        # single plain-JSON log (Spark 4 defaults to rolling zstd v2): the
+        # job parses it in-process after spark.stop()
+        "--conf", "spark.eventLog.rolling.enabled=false",
+        "--conf", "spark.eventLog.compress=false",
+        job_path, job_arg, *(extra_args or []),
     ]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip, not the repo, must provide tsengine
@@ -152,6 +221,11 @@ def main():
     ap.add_argument("--tdir", default=None)
     ap.add_argument("--skip-control", action="store_true")
     ap.add_argument("--control-rows", type=int, default=40_000_000)
+    ap.add_argument(
+        "--weak", action="store_true",
+        help="weak scaling: level N runs on an N/max(levels) deterministic "
+             "slice of the table (fixed work PER EXECUTOR; ideal pps(4N) = "
+             "4*pps(N), same ratio formula); writes BENCH/scaling_weak.json")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     tdir = args.tdir or f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
@@ -170,17 +244,32 @@ def main():
     with open(job_path, "w") as f:
         f.write(JOB)
 
-    results = {}
-    for n in levels:
-        runs = [run_level(n, args.exec_cores, zip_path, job_path, tdir)
-                for _ in range(args.runs)]  # noqa: E501
-        best = max(runs, key=lambda r: r["pps"])
-        results[n] = {"best_pps": round(best["pps"], 1),
-                      "best_sec": round(best["sec"], 2),
-                      "turns": best["turns"],
-                      "all_pps": [round(r["pps"], 1) for r in runs]}
-        print(f"executors={n}: best {best['pps']:,.0f} pts/s over {args.runs} runs",
-              file=sys.stderr)
+    denom = max(levels)
+    modes = ["compress", "nocompress"]
+    mode_results: dict[str, dict] = {m: {} for m in modes}
+    for mode in modes:
+        for n in levels:
+            extra = [mode] + ([f"subset={n}/{denom}"] if args.weak else [])
+            runs = [run_level(n, args.exec_cores, zip_path, job_path, tdir,
+                              extra_args=extra)
+                    for _ in range(args.runs)]
+            best = max(runs, key=lambda r: r["pps"])
+            mode_results[mode][n] = {
+                "best_pps": round(best["pps"], 1),
+                "best_sec": round(best["sec"], 2),
+                "turns": best["turns"],
+                "all_pps": [round(r["pps"], 1) for r in runs],
+                "shuffle_write_total_bytes": best["shuffle_write_total"],
+                "shuffle_read_total_bytes": best["shuffle_read_total"],
+                # per-stage shuffle bytes of the best run — the plans'
+                # scale story IS shuffle volume, so publish it
+                "stages": best["stages"],
+            }
+            print(f"[{mode}] executors={n}: best {best['pps']:,.0f} pts/s, "
+                  f"shuffle W/R {best['shuffle_write_total']:,}/"
+                  f"{best['shuffle_read_total']:,} B over {args.runs} runs",
+                  file=sys.stderr)
+    results = mode_results["compress"]  # primary (full pipeline, as r03)
 
     ctrl = {}
     if not args.skip_control:
@@ -188,8 +277,10 @@ def main():
         with open(ctrl_path, "w") as f:
             f.write(CTRL_JOB)
         for n in levels:
+            ctrl_rows = (args.control_rows * n // denom if args.weak
+                         else args.control_rows)
             runs = [run_level(n, args.exec_cores, zip_path, ctrl_path,
-                              str(args.control_rows)) for _ in range(2)]
+                              str(ctrl_rows)) for _ in range(2)]
             best = max(runs, key=lambda r: r["pps"])
             ctrl[n] = {"best_pps": round(best["pps"], 1),
                        "all_pps": [round(r["pps"], 1) for r in runs]}
@@ -199,12 +290,16 @@ def main():
     pairs = {}
     ctrl_pairs = {}
     rel_pairs = {}
+    mode_pairs: dict[str, dict] = {m: {} for m in modes}
     for lo in levels:
         hi = lo * 4
         if hi in results:
-            pairs[f"{lo}->{hi}"] = round(
-                results[hi]["best_pps"] / (4 * results[lo]["best_pps"]), 3
-            )
+            for m in modes:
+                mode_pairs[m][f"{lo}->{hi}"] = round(
+                    mode_results[m][hi]["best_pps"]
+                    / (4 * mode_results[m][lo]["best_pps"]), 3
+                )
+            pairs[f"{lo}->{hi}"] = mode_pairs["compress"][f"{lo}->{hi}"]
             if lo in ctrl and hi in ctrl:
                 ctrl_pairs[f"{lo}->{hi}"] = round(
                     ctrl[hi]["best_pps"] / (4 * ctrl[lo]["best_pps"]), 3
@@ -223,11 +318,19 @@ def main():
             f"(real executor JVMs, {args.exec_cores} cores each, AlwaysPreTouch+THP, "
             f"malloc arenas resident), taskset-pinned to N*{args.exec_cores}+2 cores, "
             f"best-of-{args.runs}"
+            + (f"; WEAK scaling: level N reads the N/{denom} xxhash64(conv_id) "
+               f"bucket slice (work per executor constant; ideal ratio 1.0)"
+               if args.weak else "")
         ),
+        "scaling_kind": "weak" if args.weak else "strong",
         "exec_cores": args.exec_cores,
         "levels": levels,
         "results": {str(k): v for k, v in results.items()},
+        "results_by_mode": {
+            m: {str(k): v for k, v in mode_results[m].items()} for m in modes
+        },
         "scaling_efficiency": pairs,
+        "scaling_efficiency_by_mode": mode_pairs,
         "control": {str(k): v for k, v in ctrl.items()},
         "control_efficiency": ctrl_pairs,
         "engine_relative_efficiency": rel_pairs,
@@ -238,7 +341,8 @@ def main():
     }
     print(json.dumps(summary, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_cluster.json"), "w") as f:
+    out_name = "scaling_weak.json" if args.weak else "scaling_cluster.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=2)
 
 
