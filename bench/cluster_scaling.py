@@ -226,6 +226,8 @@ def main():
         help="weak scaling: level N runs on an N/max(levels) deterministic "
              "slice of the table (fixed work PER EXECUTOR; ideal pps(4N) = "
              "4*pps(N), same ratio formula); writes BENCH/scaling_weak.json")
+    ap.add_argument("--modes", default="compress,nocompress",
+                    help="comma list of pipeline modes to sweep")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     tdir = args.tdir or f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
@@ -245,7 +247,7 @@ def main():
         f.write(JOB)
 
     denom = max(levels)
-    modes = ["compress", "nocompress"]
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     mode_results: dict[str, dict] = {m: {} for m in modes}
     for mode in modes:
         for n in levels:
@@ -269,7 +271,8 @@ def main():
                   f"shuffle W/R {best['shuffle_write_total']:,}/"
                   f"{best['shuffle_read_total']:,} B over {args.runs} runs",
                   file=sys.stderr)
-    results = mode_results["compress"]  # primary (full pipeline, as r03)
+    primary = "compress" if "compress" in modes else modes[0]
+    results = mode_results[primary]  # primary (full pipeline, as r03)
 
     ctrl = {}
     if not args.skip_control:
@@ -299,7 +302,7 @@ def main():
                     mode_results[m][hi]["best_pps"]
                     / (4 * mode_results[m][lo]["best_pps"]), 3
                 )
-            pairs[f"{lo}->{hi}"] = mode_pairs["compress"][f"{lo}->{hi}"]
+            pairs[f"{lo}->{hi}"] = mode_pairs[primary][f"{lo}->{hi}"]
             if lo in ctrl and hi in ctrl:
                 ctrl_pairs[f"{lo}->{hi}"] = round(
                     ctrl[hi]["best_pps"] / (4 * ctrl[lo]["best_pps"]), 3
