@@ -69,6 +69,7 @@ _GATE_WINDOW = [
     "q_transcript_rollup_1m",
     "q_salted_rollup_1m",
     "q_materialized_tier_1h",
+    "q_realtime_tier_1h",
     "q_stream_ingest_1h",
     "q_snapshot_compact",
     "q_snapshot_incremental",
@@ -77,7 +78,6 @@ _GATE_WINDOW = [
     "q_minhash",
     "q_lsh_near_dups",
     "q_jaccard_pairs",
-    "q_containment",
     "q_duplicate_spans",
     "q_semantic_dedup",
     "q_knn_ivf",

@@ -117,8 +117,10 @@ class MaterializedTiers:
 
     # lower bound on rows per written tier file: a write's partition count
     # is min(day span, ceil(row upper bound / this)).  The default 1 keeps
-    # files DAY-GRANULAR (the Iceberg day() partition-spec analogue), which
-    # is what makes day-cutoff retention exact — truncate_before can only
+    # files ~DAY-GRANULAR (the Iceberg day() partition-spec analogue; range
+    # boundary sampling may merge adjacent sparse days, but a day is never
+    # split across files), which is what makes day-cutoff retention exact
+    # at file granularity — truncate_before can only
     # drop whole files, so a file spanning N days expires only when ALL N
     # have.  Raise it explicitly to collapse sparse multi-day slices into
     # fewer files when coarser retention granularity is acceptable (at
@@ -464,6 +466,92 @@ class MaterializedTiers:
         """Materialized tier rows; lo/hi (epoch seconds on the bucket) prune
         files manifest-side before the residual filter."""
         return self.tiers[tier].read(spark, lo=lo, hi=hi)
+
+    def read_realtime(self, spark: SparkSession, tier: str,
+                      lo: int | None = None, hi: int | None = None) -> DataFrame:
+        """Real-time continuous aggregate (the TimescaleDB read contract):
+        the materialized tier UNIONed with an on-the-fly rollup of the
+        source rows committed AFTER the tier's position, merged per bucket
+        at read time.  Freshness without refresh cost — a dashboard query
+        between refreshes sees every committed turn, yet nothing is
+        rewritten and no history is rescanned: the tail read is the same
+        manifest-incremental file diff refresh() uses, the boundary
+        latency comes from the same conv-state anchors, and the bucket
+        overlap (a half-filled bucket that exists in both the materialized
+        tier and the tail) is folded by :func:`rollup.merge_tier`'s
+        decomposable-aggregate merge.
+
+        Read-only: tier tables, conv state and positions are untouched.
+        Requires conv state to be at the tier's source position (true after
+        any completed refresh; a kill mid-refresh leaves mixed positions —
+        run refresh() first, which reconciles them anyway)."""
+        head = self.source.current_snapshot_id() or 0
+        pos = self._position(tier)
+        mat = self.read_tier(spark, tier, lo=lo, hi=hi) if pos > 0 else None
+        if head <= pos:
+            if mat is None:
+                raise ValueError(f"read_realtime({tier!r}): empty source table")
+            return mat
+        cs = self._position("convstate")
+        if cs != pos:
+            raise ValueError(
+                f"read_realtime({tier!r}): conv state is at source position "
+                f"{cs} but the tier is at {pos} (killed refresh?); run "
+                "refresh() to reconcile before real-time reads"
+            )
+        lat = self._increment_with_latency(spark, pos, head)
+        inc = R.rollup_raw_to_tier(
+            lat.filter(~F.col("_anchor")), "1m",
+            role_vocab=self.role_vocab, tool_vocab=self.tool_vocab,
+        )
+        for t in R.TIER_ORDER[1:R.TIER_ORDER.index(tier) + 1]:
+            inc = R.reaggregate(
+                inc, t, role_vocab=self.role_vocab, tool_vocab=self.tool_vocab
+            )
+        # mirror read_tier's inclusive bucket bounds on the tail
+        if lo is not None:
+            inc = inc.filter(F.col("bucket") >= int(lo))
+        if hi is not None:
+            inc = inc.filter(F.col("bucket") <= int(hi))
+        return inc if mat is None else R.merge_tier(mat, inc)
+
+    @staticmethod
+    def route_tier(width: int) -> str:
+        """Coarsest stored tier whose width divides ``width`` — the
+        resolution router: a 6h request reads 6 rows per day from the 1h
+        tier instead of 360 from the 1m tier (60x less IO for the identical
+        answer; at 10^12 turns the difference between a dashboard query and
+        a scan job)."""
+        for t in reversed(R.TIER_ORDER):
+            w = R.TIERS[t]
+            if w <= width and width % w == 0:
+                return t
+        raise ValueError(
+            f"no stored tier divides a {width}s bucket; finest tier is "
+            f"{R.TIER_ORDER[0]} ({R.TIERS[R.TIER_ORDER[0]]}s)"
+        )
+
+    def read_resampled(self, spark: SparkSession, width: int,
+                       lo: int | None = None, hi: int | None = None,
+                       realtime: bool = False) -> DataFrame:
+        """Downsample-on-read at an arbitrary bucket width (seconds): routes
+        to the coarsest materialized tier that divides ``width``
+        (:meth:`route_tier`), reaggregates on the fly (one shuffle over
+        already-reduced tier rows — raw is never touched), and optionally
+        merges the un-materialized source tail first (``realtime=True``).
+        ``width`` equal to a stored tier's is a plain pruned tier read."""
+        t = self.route_tier(int(width))
+        base = (
+            self.read_realtime(spark, t, lo=lo, hi=hi)
+            if realtime
+            else self.read_tier(spark, t, lo=lo, hi=hi)
+        )
+        if int(width) == R.TIERS[t]:
+            return base
+        return R.reaggregate(
+            base, int(width),
+            role_vocab=self.role_vocab, tool_vocab=self.tool_vocab,
+        )
 
     def apply_retention(self, policy: dict[str, int], now_epoch: int,
                         keep_snapshots: int = 2) -> dict[str, int | None]:

@@ -208,12 +208,19 @@ def rollup_raw_to_tier(
 
 def reaggregate(
     finer: DataFrame,
-    tier: str,
+    tier: str | int,
     role_vocab: list | None = None,
     tool_vocab: list | None = None,
 ) -> DataFrame:
     """Partial reaggregation: finer tier -> coarser tier without touching raw
     data.  Valid for cnt/min/max/sum (mean recomputed from sum/count).
+
+    ``tier`` is a named tier ("1h", "1d") or an arbitrary bucket width in
+    seconds (downsample-on-read: a dashboard asking for 6h points
+    reaggregates the 1h tier with ``tier=21600``).  Soundness needs the
+    finer width to DIVIDE the coarser one — callers route through
+    :meth:`tsengine.materialize.MaterializedTiers.read_resampled`, which
+    picks the coarsest stored tier that divides the request.
 
     Distributions: with a known vocabulary, per-key counts are
     ``sum(element_at(map, key))`` — plain codegen aggregates, map rebuilt in
@@ -221,7 +228,10 @@ def reaggregate(
     falls back to a map_zip_with fold over the collected finer maps
     (<= width-ratio small maps per group).  One shuffle, no joins either
     way."""
-    width = TIERS[tier]
+    if isinstance(tier, int):
+        width, tier = tier, f"{tier}s"
+    else:
+        width = TIERS[tier]
     b = finer.withColumn(
         "bucket2", (F.lit(width) * F.floor(F.col("bucket") / F.lit(width))).cast("long")
     )

@@ -145,6 +145,27 @@ def _transcripts(spark, sf_dir):
     )
 
 
+def _project_tier(out):
+    """Common driver projection of a tier frame: pivoted dist counts +
+    6dp-rounded value plane, encoding-proof for the value-hash compare."""
+    from tsengine.plans.driver_queries_data import ROLE_VOCAB, TOOL_VOCAB
+
+    dist = [
+        F.coalesce(F.element_at(F.col("role_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"r_{v}")
+        for v in ROLE_VOCAB
+    ] + [
+        F.coalesce(F.element_at(F.col("tool_dist"), F.lit(v)), F.lit(0).cast("long")).alias(f"t_{v}")
+        for v in TOOL_VOCAB
+    ]
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+        *dist,
+    )
+
+
 def q_materialized_tier_1h(spark, sf_dir):
     """End-to-end incremental continuous aggregate: transcripts land in a
     snapshot table in TWO appends that split every conversation mid-stream
@@ -289,6 +310,54 @@ def q_stream_ingest_1h(spark, sf_dir):
     )
 
 
+def q_realtime_tier_1h(spark, sf_dir):
+    """Real-time continuous aggregate: the tiers are materialized over the
+    FIRST append only (turns 1-30); the rest of every conversation is
+    committed to the source but NEVER refreshed into the tiers.
+    read_realtime('1h') must still equal the full-rescan oracle — the
+    materialized half, the on-the-fly tail rollup (boundary latency via
+    conv-state anchors), and the half-filled-bucket merge all have to be
+    right, and the read must leave tier positions untouched."""
+    import os
+
+    from tsengine.materialize import MaterializedTiers
+    from tsengine.plans.driver_queries_data import ROLE_VOCAB, TOOL_VOCAB
+    from tsengine.sources.snapshots import SnapshotTable
+
+    key = ("realtime1h", sf_dir)
+    if key not in _memo:
+        t = _transcripts(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="tseng_rt_")
+        src = SnapshotTable(os.path.join(root, "source"), ts_col="ts")
+        mat = MaterializedTiers(
+            src, os.path.join(root, "tiers"),
+            role_vocab=ROLE_VOCAB, tool_vocab=TOOL_VOCAB,
+        )
+        src.append(t.filter(F.col("turn_idx") <= 30))
+        mat.refresh(spark)
+        src.append(t.filter(F.col("turn_idx") > 30))  # pending tail, no refresh
+        assert mat.positions()["1h"] == 1 and src.current_snapshot_id() == 2
+        _memo[key] = mat
+    mat = _memo[key]
+    out = mat.read_realtime(spark, "1h")
+    assert mat.positions()["1h"] == 1  # read-only: no tier commit happened
+    return _project_tier(out)
+
+
+def q_tier_routed_6h(spark, sf_dir):
+    """Downsample-on-read with resolution routing: a 6h request must be
+    served by reaggregating the 1h tier (route_tier picks the coarsest
+    divisor tier — 6 rows/day read instead of 360 from 1m), and the result
+    must equal a full 6h rollup of the raw table (oracle).  Shares
+    q_materialized_tier_1h's fully-refreshed build."""
+    from tsengine.materialize import MaterializedTiers
+
+    q_materialized_tier_1h(spark, sf_dir)  # ensure the shared build exists
+    mat = _memo[("mat1h", sf_dir)]
+    assert MaterializedTiers.route_tier(21600) == "1h"
+    return _project_tier(mat.read_resampled(spark, 21600))
+
+
 # ---------------------------------------------------------------- oracles
 
 _EVT_SQL = "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events"
@@ -340,6 +409,8 @@ FROM l GROUP BY 1, 2
 ORACLE["q_materialized_tier_1h"] = _mat_sql(3600)
 ORACLE["q_materialized_1d_retention"] = _mat_sql(86400)
 ORACLE["q_stream_ingest_1h"] = _mat_sql(3600)
+ORACLE["q_realtime_tier_1h"] = _mat_sql(3600)
+ORACLE["q_tier_routed_6h"] = _mat_sql(21600)
 
 QUERIES = {
     "q_snapshot_time_travel": q_snapshot_time_travel,
@@ -349,4 +420,6 @@ QUERIES = {
     "q_snapshot_compact": q_snapshot_compact,
     "q_materialized_1d_retention": q_materialized_1d_retention,
     "q_stream_ingest_1h": q_stream_ingest_1h,
+    "q_realtime_tier_1h": q_realtime_tier_1h,
+    "q_tier_routed_6h": q_tier_routed_6h,
 }
