@@ -1,0 +1,202 @@
+"""Conversation-native transcript operators: turn-stutter dedup, context-
+window truncation, and shared-prefix (fork) detection.
+
+These are transcript-shaped curation ops the tier/rollup layer does not
+cover: they operate on the raw turn stream of the north rule's table
+(conv_id, turn_idx, role, text, tool, ts) and preserve its invariants
+(dense 1-based turn_idx, per-turn text equality under stable ordering).
+
+Scale shapes (every op here is one conv_id-keyed exchange plus, for forks,
+one bounded group join):
+
+- :func:`dedup_turns` — retry/stutter removal — lag compare + re-rank over
+  the SAME conv_id window partitioning (one Exchange in the executed plan).
+- :func:`truncate_context` — longest suffix under a token budget —
+  a descending-order running sum over the same window (the growing-frame
+  direction Spark evaluates incrementally, see resample.py's bfill note).
+- :func:`conv_forks` — agent retries / resampled branches share a turn
+  prefix; detecting them pairwise without comparing every conversation
+  against every other.  A double polynomial rolling hash (two independent
+  2^31-scale prime moduli -> ~2^62 combined collision space) makes every
+  prefix a 2-long fingerprint computable as a cumulative windowed SUM:
+  prefix_k(d) = sum_{i<=d} h_i * base_k^(i-1) mod m_k.  No suffix arrays,
+  no per-row Python, no pairwise scan: conversations collide only through
+  an equi-join on (depth, ph1, ph2), so join volume is the number of
+  genuinely shared prefixes, not n^2.  Reference analogue: none (the
+  reference has no text surface); the per-doc MinHash/LSH family
+  (dedup.py) covers unordered near-duplication — this covers ORDERED
+  exact-prefix duplication, which is what conversation forks are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# two independent rolling-hash planes: primes just under 2^31 keep every
+# product (m - 1) * base < 2^62 inside a long with no intermediate overflow
+_M1, _B1 = 2147483629, 1000003
+_M2, _B2 = 2147483587, 1000033
+
+# turn content hash: the repo-wide cross-engine md5 convention
+# (sampling.py:30 — Spark conv(substr(md5(x),1,15),16,10) ==
+#  DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)), 60 uniform bits
+def _turn_hash(role, text):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", role, text)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def dedup_turns(transcripts: DataFrame, keep_cols: bool = True) -> DataFrame:
+    """Drop CONSECUTIVE duplicate turns (same role AND text as the previous
+    turn of the conversation) — the retry-stutter artifact of agent loops —
+    and re-rank the survivors to a dense 1-based ``turn_idx``.
+
+    The first occurrence is kept (with its timestamp), so per-turn text
+    equality under (conv_id, turn_idx) ordering is preserved for every
+    surviving turn.  ``orig_turn_idx`` records the pre-dedup position.
+
+    Plan: one Exchange on conv_id; the lag comparison and the survivor
+    re-rank run over the same window partitioning."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = transcripts.withColumn(
+        "_dup",
+        (F.col("role").eqNullSafe(F.lag("role").over(w)))
+        & (F.col("text").eqNullSafe(F.lag("text").over(w))),
+    )
+    kept = flagged.filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+    out = kept.withColumn(
+        "new_turn_idx", F.row_number().over(w)
+    ).withColumnRenamed("turn_idx", "orig_turn_idx").withColumnRenamed(
+        "new_turn_idx", "turn_idx"
+    )
+    cols = ["conv_id", "turn_idx", "orig_turn_idx", "role", "text"]
+    if keep_cols:
+        cols += [c for c in ("tool", "ts") if c in transcripts.columns]
+    return out.select(*cols)
+
+
+def truncate_context(transcripts: DataFrame, budget: int,
+                     pin_first: int = 0,
+                     tokens_col: str | None = None) -> DataFrame:
+    """Keep, per conversation, the longest SUFFIX of turns whose cumulative
+    token count fits ``budget`` — the context-window assembly rule (newest
+    turns matter most) — optionally pinning the first ``pin_first`` turns
+    (system prompt) regardless of budget.  Pinned turns do not consume the
+    suffix budget.
+
+    Tokens come from ``tokens_col`` if given, else the cross-engine
+    ``greatest(1, ceil(length(text)/4))`` estimate (the usual 4-chars/token
+    rule; exact BPE counting is a tokenizer concern, not an engine one).
+
+    The suffix is found with ONE descending-order running sum over the
+    conv_id window — the growing-frame direction Spark evaluates in O(n)
+    per series — and is contiguous by construction (token counts are
+    positive, so the running sum is monotone from the tail).
+
+    Output keeps the original ``turn_idx`` (text equality stays anchored)
+    plus ``new_turn_idx`` densely re-ranked over the kept turns and
+    ``pinned`` marking budget-exempt rows."""
+    t = transcripts
+    if tokens_col is None:
+        t = t.withColumn(
+            "_tok",
+            F.greatest(F.lit(1), F.ceil(F.length(F.coalesce("text", F.lit(""))) / 4)).cast("long"),
+        )
+    else:
+        t = t.withColumn("_tok", F.col(tokens_col).cast("long"))
+    wdesc = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    t = t.withColumn("_revcum", F.sum("_tok").over(wdesc))
+    kept = t.filter(
+        (F.col("turn_idx") <= pin_first) | (F.col("_revcum") <= budget)
+    )
+    wasc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    out = kept.withColumn("new_turn_idx", F.row_number().over(wasc)).withColumn(
+        "pinned", F.col("turn_idx") <= pin_first
+    )
+    cols = ["conv_id", "turn_idx", "new_turn_idx", "pinned", "role", "text"]
+    cols += [c for c in ("tool", "ts") if c in transcripts.columns]
+    return out.select(*cols, F.col("_tok").alias("tokens"))
+
+
+def prefix_hashes(transcripts: DataFrame, max_depth: int = 4096) -> DataFrame:
+    """Per (conv_id, depth<=max_depth): the double rolling-hash fingerprint
+    of the conversation's first ``depth`` turns (role + text content).
+
+    The base-power table (base^(i-1) mod m, i = 1..max_depth) is a tiny
+    broadcast-joined frame, not a literal array — the plan stays constant-
+    size in max_depth.  The prefix hash itself is a cumulative windowed SUM
+    of h_i * power_i taken mod m at each row: terms are < 2^31, so even a
+    4096-deep sum stays < 2^43, no overflow, no intermediate mods."""
+    spark = transcripts.sparkSession
+    pows, q1, q2 = [], 1, 1
+    for i in range(1, max_depth + 1):
+        pows.append((i, q1, q2))
+        q1 = (q1 * _B1) % _M1
+        q2 = (q2 * _B2) % _M2
+    powers = spark.createDataFrame(pows, "i int, q1 long, q2 long")
+
+    h = (
+        transcripts.filter(F.col("turn_idx") <= max_depth)
+        .select(
+            "conv_id", "turn_idx", _turn_hash(F.col("role"), F.col("text")).alias("_h")
+        )
+        .join(F.broadcast(powers), F.col("turn_idx") == F.col("i"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            ((F.col("_h") % _M1) * F.col("q1") % _M1).alias("_t1"),
+            ((F.col("_h") % _M2) * F.col("q2") % _M2).alias("_t2"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return h.select(
+        "conv_id",
+        F.col("turn_idx").alias("depth"),
+        (F.sum("_t1").over(w) % _M1).alias("ph1"),
+        (F.sum("_t2").over(w) % _M2).alias("ph2"),
+    )
+
+
+def conv_forks(transcripts: DataFrame, min_depth: int = 3,
+               max_depth: int = 4096, max_group: int = 64) -> DataFrame:
+    """Conversation pairs sharing a turn prefix of length >= ``min_depth``
+    (role AND text equal turn-by-turn), with the maximal shared depth —
+    the fork/retry/resample-branch detector.
+
+    Mechanics: :func:`prefix_hashes` fingerprints every prefix; an
+    aggregation keeps only (depth, ph1, ph2) cells hit by 2..``max_group``
+    conversations; a self-equi-join inside those cells emits candidate
+    pairs; max(depth) per pair collapses the nested prefixes.  Join volume
+    is sum-over-shared-prefixes, never n^2.
+
+    ``max_group`` is an EXPLICIT boilerplate guard, mirrored by the oracle:
+    a prefix shared by more than that many conversations (a fleet-wide
+    system preamble) is template text, not a fork, and its pair semantics
+    would be quadratic in group size.  Raise it (or pre-strip the preamble
+    with :func:`truncate_context`) when fleet-template pairs are wanted.
+
+    Collision honesty: equality is through two independent 2^31-prime
+    rolling hashes (~2^62 joint space); at 10^9 shared-prefix cells the
+    expected false-pair count is ~1e-4.  A confirming equi-join on the
+    actual prefix arrays would be O(shared text volume); not worth it
+    below ~2^60 cells."""
+    pref = prefix_hashes(transcripts, max_depth=max_depth).filter(
+        F.col("depth") >= min_depth
+    )
+    cells = (
+        pref.groupBy("depth", "ph1", "ph2")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+        .drop("_n")
+    )
+    member = pref.join(cells, ["depth", "ph1", "ph2"])
+    a = member.select("depth", "ph1", "ph2", F.col("conv_id").alias("conv_a"))
+    b = member.select("depth", "ph1", "ph2", F.col("conv_id").alias("conv_b"))
+    pairs = a.join(b, ["depth", "ph1", "ph2"]).filter(
+        F.col("conv_a") < F.col("conv_b")
+    )
+    return (
+        pairs.groupBy("conv_a", "conv_b")
+        .agg(F.max("depth").cast("long").alias("shared_depth"))
+    )

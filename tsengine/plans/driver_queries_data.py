@@ -2199,6 +2199,163 @@ SELECT conv_id,
 FROM d GROUP BY 1
 """
 
+def q_dedup_turns(spark, sf_dir):
+    """Turn-stutter dedup over the events-derived transcripts: consecutive
+    turns with the same (role, text) collapse to their first occurrence and
+    survivors re-rank to a dense turn_idx — the agent retry-loop artifact
+    cleaner.  Text is bucketed (event_type + value quartile) so real
+    consecutive duplicates exist in the data; DuckDB mirrors the lag
+    compare + re-rank exactly."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import convops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(
+            "-", F.col("event_type"),
+            F.floor(F.col("value") / 25).cast("int").cast("string"),
+        ).alias("text"),
+    )
+    out = convops.dedup_turns(t, keep_cols=False)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("orig_turn_idx").cast("long").alias("orig_turn_idx"),
+        "role", "text",
+    )
+
+
+ORACLE["q_dedup_turns"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         event_type || '-' || CAST(CAST(floor(value / 25) AS INT) AS VARCHAR) AS text
+  FROM events),
+k AS (
+  SELECT *, CASE WHEN role = lag(role) OVER w AND text = lag(text) OVER w
+                 THEN 1 ELSE 0 END AS dup
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+s AS (SELECT conv_id, turn_idx AS orig_turn_idx, role, text FROM k WHERE dup = 0)
+SELECT conv_id,
+       row_number() OVER (PARTITION BY conv_id ORDER BY orig_turn_idx) AS turn_idx,
+       orig_turn_idx, role, text
+FROM s
+"""
+
+
+def q_truncate_context(spark, sf_dir):
+    """Context-window assembly: per conversation keep the system turn
+    (pin_first=1) plus the longest turn SUFFIX whose estimated token count
+    fits a 64-token budget — one descending running sum per conversation.
+    DuckDB mirrors the token estimate, the reverse cumsum and the re-rank."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import convops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit("turn-"), F.col("event_id").cast("string")).alias("text"),
+    )
+    out = convops.truncate_context(t, budget=64, pin_first=1)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("new_turn_idx").cast("long").alias("new_turn_idx"),
+        "pinned", "role", "text", "tokens",
+    )
+
+
+ORACLE["q_truncate_context"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         'turn-' || CAST(event_id AS VARCHAR) AS text
+  FROM events),
+x AS (SELECT *, greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS tok FROM t),
+r AS (SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS revcum
+      FROM x),
+k AS (SELECT * FROM r WHERE turn_idx <= 1 OR revcum <= 64)
+SELECT conv_id, turn_idx,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS new_turn_idx,
+       turn_idx <= 1 AS pinned, role, text, tok AS tokens
+FROM k
+"""
+
+
+def q_conv_forks(spark, sf_dir):
+    """Fork/retry detection: conversation pairs sharing a turn prefix of
+    length >= 3 (role+text equal turn-by-turn, here role=text=event_type so
+    collisions genuinely occur), maximal shared depth per pair, boilerplate
+    cells capped at 64 conversations.  DuckDB mirrors the double rolling
+    hash (recursive power table), the cell filter, the pair join and the
+    max-depth collapse bit-for-bit."""
+    from pyspark.sql import Window
+
+    from tsengine.operators import convops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+    )
+    return convops.conv_forks(t, min_depth=3, max_depth=64, max_group=64)
+
+
+ORACLE["q_conv_forks"] = """
+WITH RECURSIVE t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         event_type AS role,
+         event_type AS text
+  FROM events),
+h AS (
+  SELECT conv_id, turn_idx,
+         CAST('0x' || substr(md5(role || '|' || text), 1, 15) AS BIGINT) AS hv
+  FROM t WHERE turn_idx <= 64),
+powers(i, q1, q2) AS (
+  SELECT 1, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT i + 1, (q1 * 1000003) % 2147483629, (q2 * 1000033) % 2147483587
+  FROM powers WHERE i < 64),
+terms AS (
+  SELECT conv_id, turn_idx,
+         ((hv % 2147483629) * q1) % 2147483629 AS t1,
+         ((hv % 2147483587) * q2) % 2147483587 AS t2
+  FROM h JOIN powers p ON p.i = h.turn_idx),
+pref AS (
+  SELECT conv_id, turn_idx AS depth,
+         sum(t1) OVER (PARTITION BY conv_id ORDER BY turn_idx) % 2147483629 AS ph1,
+         sum(t2) OVER (PARTITION BY conv_id ORDER BY turn_idx) % 2147483587 AS ph2
+  FROM terms),
+f AS (SELECT * FROM pref WHERE depth >= 3),
+cells AS (
+  SELECT depth, ph1, ph2 FROM f
+  GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 64),
+m AS (SELECT f.* FROM f JOIN cells USING (depth, ph1, ph2)),
+pairs AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, a.depth
+  FROM m a JOIN m b
+    ON a.depth = b.depth AND a.ph1 = b.ph1 AND a.ph2 = b.ph2
+   AND a.conv_id < b.conv_id)
+SELECT conv_a, conv_b, CAST(max(depth) AS BIGINT) AS shared_depth
+FROM pairs GROUP BY 1, 2
+"""
+
+
 ORACLE["q_cusum"] = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -2593,6 +2750,9 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_corpus_curation": q_corpus_curation,
     "q_cusum": q_cusum,
+    "q_dedup_turns": q_dedup_turns,
+    "q_truncate_context": q_truncate_context,
+    "q_conv_forks": q_conv_forks,
     "q_conversation_stats": q_conversation_stats,
     "q_latency_transitions": q_latency_transitions,
     "q_top_events": q_top_events,
