@@ -296,6 +296,19 @@ def main():
         gz_sec = dt if gz_sec is None else min(gz_sec, dt)
     timings["gorilla_compress"] = round(gz_sec, 3)
 
+    # compression economics (untimed): encoded block bytes vs the raw
+    # 16 bytes/point (long epoch + double value) the blocks replace — the
+    # storage-side half of the Gorilla story (the north rule compresses
+    # every tier series at rest; ratio decides the retention bill)
+    blk = C.compress_series(series).selectExpr(
+        "sum(n) as pts",
+        # per-block payload + the fixed decode header the block schema
+        # carries (n:int, first_ts:long, first_val:double, fmt:byte)
+        "sum(length(ts_block) + length(val_block) + 21) as enc_bytes",
+    ).first()
+    comp_ratio = round(16.0 * blk["pts"] / blk["enc_bytes"], 3)
+    comp_bpp = round(blk["enc_bytes"] / blk["pts"], 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
@@ -317,6 +330,8 @@ def main():
         "incremental_refresh_breakdown": dict(mat.last_refresh_timings),
         "incremental_tier_files_reused": reused,
         "incremental_tier_files_rewritten": rewritten,
+        "gorilla_compression_ratio": comp_ratio,
+        "gorilla_bytes_per_point": comp_bpp,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

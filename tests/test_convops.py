@@ -151,3 +151,54 @@ def test_dedup_turns_plan_single_exchange(spark):
     t = _t(spark, [("c", 1, "u", "x")])
     plan = convops.dedup_turns(t)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def _calls(spark, rows):
+    """rows: (conv_id, turn_idx, tool, epoch) — tool None = plain turn."""
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, epoch long"
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+
+
+def test_tool_transitions_golden(spark):
+    t = _calls(spark, [
+        ("c", 1, "search", 100),
+        ("c", 2, None, 110),          # plain turn skipped
+        ("c", 3, "fetch", 120),       # search -> fetch
+        ("c", 4, "fetch", 86500),     # fetch -> fetch, next day bucket
+        ("d", 1, "fetch", 100),       # first call of d: no transition
+        ("d", 2, "search", 130),      # fetch -> search
+    ])
+    out = convops.tool_transitions(t, width_sec=86400)
+    got = {(r.bucket, r.tool_from, r.tool_to): r.n for r in out.collect()}
+    assert got == {
+        (0, "search", "fetch"): 1,
+        (86400, "fetch", "fetch"): 1,
+        (0, "fetch", "search"): 1,
+    }
+
+
+def test_tool_loops_golden_and_min_run(spark):
+    t = _calls(spark, [
+        ("c", 1, "a", 0), ("c", 2, None, 0), ("c", 3, "a", 0),  # run a x2 (gap turn ignored)
+        ("c", 4, "b", 0),                                       # run b x1
+        ("c", 5, "a", 0), ("c", 6, "a", 0), ("c", 7, "a", 0),   # run a x3
+        ("d", 1, "b", 0), ("d", 2, "b", 0),                     # run b x2
+    ])
+    out = convops.tool_loops(t, min_run=2)
+    got = {(r.conv_id, r.tool, r.start_turn_idx): (r.run_len, r.end_turn_idx)
+           for r in out.collect()}
+    assert got == {
+        ("c", "a", 1): (2, 3),
+        ("c", "a", 5): (3, 7),
+        ("d", "b", 1): (2, 2),
+    }
+    assert convops.tool_loops(t, min_run=3).count() == 1
+
+
+def test_tool_loops_plan_single_exchange(spark):
+    """run-id window + island groupBy share ONE conv_id exchange (group
+    keys are a superset of the window partitioning)."""
+    t = _calls(spark, [("c", 1, "a", 0)])
+    plan = convops.tool_loops(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

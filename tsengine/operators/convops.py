@@ -119,6 +119,58 @@ def truncate_context(transcripts: DataFrame, budget: int,
     return out.select(*cols, F.col("_tok").alias("tokens"))
 
 
+def tool_transitions(transcripts: DataFrame, width_sec: int = 86400) -> DataFrame:
+    """Per-bucket tool-call bigram counts: order each conversation's
+    TOOL-CALL turns (``tool`` non-null) by ``turn_idx`` and count
+    (previous tool -> tool) transitions, bucketed by the destination
+    call's timestamp — the agent-behavior transition matrix (which tool
+    follows which), the companion of :func:`rollup.latency_by_transition`
+    (role plane) on the tool plane.
+
+    Plan: ONE Exchange on conv_id for the lag window; the groupBy runs
+    partial (map-side) aggregation before its own keyed exchange, so
+    shuffle volume is the number of distinct (bucket, from, to) cells per
+    task, not the call count."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.filter(F.col("tool").isNotNull())
+    t = calls.withColumn("_prev", F.lag("tool").over(w)).filter(
+        F.col("_prev").isNotNull()
+    )
+    return t.groupBy(
+        (F.floor(F.col("ts").cast("long") / width_sec) * width_sec).alias("bucket"),
+        F.col("_prev").alias("tool_from"),
+        F.col("tool").alias("tool_to"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+def tool_loops(transcripts: DataFrame, min_run: int = 3) -> DataFrame:
+    """Maximal runs of CONSECUTIVE same-tool calls per conversation with
+    length >= ``min_run`` — the stuck-agent detector (a model retrying one
+    tool over and over), positional like :func:`dedup_turns` but on the
+    tool-call subsequence rather than adjacent raw turns.
+
+    Gaps-and-islands without a second window partitioning: a run starts
+    where the tool differs from the previous call's (lag), the run id is
+    the running sum of starts over the SAME conv_id window, and the final
+    ``groupBy(conv_id, run_id, tool)`` is clustering-satisfied by the
+    window's conv_id hashpartitioning (group keys are a superset) — ONE
+    Exchange in the executed plan, same shape as eventops.session_stats."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.filter(F.col("tool").isNotNull())
+    start = (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("long")
+    t = calls.withColumn("_run", F.sum(start).over(w))
+    return (
+        t.groupBy("conv_id", "_run", "tool")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("turn_idx").cast("long").alias("start_turn_idx"),
+            F.max("turn_idx").cast("long").alias("end_turn_idx"),
+        )
+        .filter(F.col("run_len") >= int(min_run))
+        .select("conv_id", "tool", "run_len", "start_turn_idx", "end_turn_idx")
+    )
+
+
 def prefix_hashes(transcripts: DataFrame, max_depth: int = 4096) -> DataFrame:
     """Per (conv_id, depth<=max_depth): the double rolling-hash fingerprint
     of the conversation's first ``depth`` turns (role + text content).

@@ -2356,6 +2356,84 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def _tool_transcripts(spark, sf_dir):
+    """Events -> transcript shape with a sparse tool column: a turn is a
+    tool CALL when value >= 50 (deterministic, ~half the turns), tool name
+    = event_type.  Shared by q_tool_transitions / q_tool_loops."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(F.col("value") >= 50, F.col("event_type")).alias("tool"),
+        # events.parquet carries TIMESTAMP_NTZ; normalize so ts.cast(long)
+        # inside the operator resolves (session tz is UTC repo-wide)
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call bigram rollup: per day bucket, how often does tool B
+    follow tool A within a conversation — the agent-behavior transition
+    matrix.  One conv_id window exchange + one partially-aggregated
+    groupBy; DuckDB mirrors the call filter, lag and bucket floor."""
+    from tsengine.operators import convops
+
+    return convops.tool_transitions(
+        _tool_transcripts(spark, sf_dir), width_sec=86400
+    )
+
+
+ORACLE["q_tool_transitions"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         CASE WHEN value >= 50 THEN event_type END AS tool,
+         ts
+  FROM events),
+c AS (SELECT * FROM t WHERE tool IS NOT NULL),
+p AS (SELECT *, lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM c)
+SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS bucket,
+       prev AS tool_from, tool AS tool_to, count(*) AS n
+FROM p WHERE prev IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tool_loops(spark, sf_dir):
+    """Stuck-agent detection: maximal runs of >= 2 consecutive same-tool
+    calls per conversation (gaps-and-islands over the call subsequence,
+    ONE exchange — the run groupBy's clustering is satisfied by the lag
+    window's conv_id partitioning).  DuckDB mirrors the run-id running sum
+    and the island aggregate."""
+    from tsengine.operators import convops
+
+    return convops.tool_loops(_tool_transcripts(spark, sf_dir), min_run=2)
+
+
+ORACLE["q_tool_loops"] = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+         CASE WHEN value >= 50 THEN event_type END AS tool
+  FROM events),
+c AS (SELECT conv_id, turn_idx, tool FROM t WHERE tool IS NOT NULL),
+s AS (SELECT *, CASE WHEN tool IS DISTINCT FROM lag(tool) OVER w
+                     THEN 1 ELSE 0 END AS st
+      FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+r AS (SELECT *, sum(st) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run
+      FROM s)
+SELECT conv_id, tool, count(*) AS run_len,
+       CAST(min(turn_idx) AS BIGINT) AS start_turn_idx,
+       CAST(max(turn_idx) AS BIGINT) AS end_turn_idx
+FROM r GROUP BY conv_id, tool, run
+HAVING count(*) >= 2
+"""
+
+
 ORACLE["q_cusum"] = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -2753,6 +2831,8 @@ QUERIES = {
     "q_dedup_turns": q_dedup_turns,
     "q_truncate_context": q_truncate_context,
     "q_conv_forks": q_conv_forks,
+    "q_tool_transitions": q_tool_transitions,
+    "q_tool_loops": q_tool_loops,
     "q_conversation_stats": q_conversation_stats,
     "q_latency_transitions": q_latency_transitions,
     "q_top_events": q_top_events,
