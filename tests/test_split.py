@@ -257,3 +257,51 @@ def test_tsgb_year(spark):
          (1392073200, 0.0), (1393282800, 1.0), (1393628400, 0.0)],
     ]
     assert ordered == expected
+
+
+def test_tsgb_calendar_placeholders_executor_side(spark):
+    """day/week/month/year placeholders: (a) fully lazy — building the plan
+    runs no Spark job (the r3-era driver collect is gone), (b) the calendar
+    sequence explode is in the plan, (c) value parity with the scalar
+    af:190-200 walk across a multi-year gap straddling BOTH 2021 Madrid DST
+    transitions (519 day placeholders in the small case; variable-length
+    months; a leap February)."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo("Europe/Madrid")
+
+    def ep(y, m, d, h=0):
+        return int(datetime(y, m, d, h, tzinfo=tz).timestamp())
+
+    pts = [(ep(2021, 1, 15, 10), 1.0), (ep(2021, 4, 2, 5), 2.0),
+           (ep(2023, 11, 20, 23), 3.0)]
+    df = from_ts_lists(spark, [pts])
+
+    for period in ("day", "week", "month", "year"):
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        out = group_by_legacy(df, period=period)
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        assert len(after) == len(before), f"{period} path must be fully lazy"
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "explode" in plan and "sequence" in plan
+
+        got_ph = sorted(r["bucket"] for r in out.collect() if r["value"] is None)
+
+        # scalar oracle: placeholders run strictly between the prev point's
+        # period and the period BELOW the next point's period — that one is
+        # non-empty (it receives the interior-crossing seed row, af:140-150).
+        # No point here sits on a boundary, so eff == plain period beginning,
+        # and re-applying time_interval_beginning to the boundary epoch gives
+        # the previous period via the minute-0 shift.
+        exp = []
+        for (e_lo, _), (e_hi, _) in zip(pts, pts[1:]):
+            lo_p = time_interval_beginning(period, epoch_ref=e_lo)
+            hi_p = time_interval_beginning(
+                period, epoch_ref=time_interval_beginning(period, epoch_ref=e_hi)
+            )
+            cur = time_interval_end(period, epoch_ref=lo_p + 60)
+            while cur < hi_p:
+                exp.append(cur)
+                cur = time_interval_end(period, epoch_ref=cur + 60)
+        assert got_ph == sorted(exp), period

@@ -24,7 +24,6 @@ from tsengine.timeutil import (
     DEFAULT_TZ,
     VALID_PERIODS,
     bucket_epoch_expr,
-    time_interval_end,
 )
 
 _AGGS = {"sum": F.sum, "max": F.max, "min": F.min, "mean": F.avg, "std": F.stddev_pop}
@@ -80,13 +79,13 @@ def group_by_legacy(
       placeholder row (af:190-196).
 
     Parity-only operator; the modern :func:`split` is the primary bucketing
-    path.  Placeholder enumeration is executor-side for fixed-width periods
-    (hour: a ``sequence()`` explode over each gap pair — no driver loop, so
-    multi-month gaps across many series cost one explode, not thousands of
-    driver iterations); calendar-variable periods (day/week/month/year, whose
-    Madrid period lengths vary with DST/month length) keep the scalar-calendar
-    driver walk over the few distinct gap pairs (incl. the DST guard,
-    af:197-200).
+    path.  Placeholder enumeration is fully executor-side for ALL periods —
+    no driver loop or collect anywhere: hour gaps are a fixed-width epoch
+    ``sequence()`` explode, and calendar-variable periods (day/week/month/
+    year, whose Madrid period lengths vary with DST/month length) explode a
+    calendar-interval ``sequence()`` over the LOCAL-WALL-clock rendering of
+    each gap pair, folding boundaries back through the tz offset with
+    ``to_utc_timestamp`` (see the inline comment for why this is exact).
     """
     if period not in VALID_PERIODS:
         raise TsError(f"Invalid period given: {period}")
@@ -139,7 +138,6 @@ def group_by_legacy(
 
     # placeholders for empty periods strictly between a crossing's lower
     # side (prev point's period, or the seed's period) and upper side
-    spark = df.sparkSession
     gaps_df = crossed.select(
         "series_id",
         F.col("_prev_eff").alias("_lo_p"),
@@ -171,26 +169,46 @@ def group_by_legacy(
         )
         return out.unionByName(ph)
 
-    gap_rows: list[tuple[int, int, int, None]] = []
-    gaps = gaps_df.collect()
-    for r in gaps:
-        cur = time_interval_end(period, tz_name, int(r["_lo_p"]) + 60)
-        while cur < int(r["_hi_p"]):
-            gap_rows.append((int(r["series_id"]), cur, cur, None))
-            nxt = time_interval_end(period, tz_name, cur + 60)
-            if nxt <= cur:
-                nxt = cur + 3600  # DST guard (af:197-200)
-            cur = nxt
-    if gap_rows:
-        from pyspark.sql import types as T
-
-        gap_schema = T.StructType(
-            [
-                T.StructField("series_id", T.LongType()),
-                T.StructField("bucket", T.LongType()),
-                T.StructField("epoch", T.LongType()),
-                T.StructField("value", T.DoubleType()),
-            ]
+    # calendar-variable periods (day/week/month/year): enumerate interior
+    # period starts executor-side in LOCAL WALL time.  _lo_p/_hi_p are both
+    # period-START epochs (bucket_epoch_expr output), and from a boundary,
+    # stepping one calendar interval stays on boundaries (midnight / Monday
+    # midnight / first-of-month / Jan-1) regardless of DST or month length:
+    # from_utc_timestamp yields the wall clock as a bare timestamp, interval
+    # arithmetic on it IS wall arithmetic, and to_utc_timestamp folds each
+    # boundary back through the tz offset exactly like the scalar
+    # datetime(...).timestamp() walk this replaces (af:190-196).  The
+    # af:197-200 DST guard can only trigger for sub-day periods, which take
+    # the fixed-width path above; midnight-adjacent DST transitions (not a
+    # thing in the reference's Madrid tz) are the one unreplicated edge.
+    step_iv = {"day": "1 DAY", "week": "7 DAY", "month": "1 MONTH", "year": "1 YEAR"}[period]
+    ph = (
+        gaps_df.select(
+            "series_id",
+            F.from_utc_timestamp(F.timestamp_seconds("_lo_p"), tz_name).alias("_lo_w"),
+            F.from_utc_timestamp(F.timestamp_seconds("_hi_p"), tz_name).alias("_hi_w"),
         )
-        out = out.unionByName(spark.createDataFrame(gap_rows, gap_schema))
-    return out
+        # >=1 interior start iff lo + I < hi; gap pairs are whole periods
+        # apart, so that also guarantees lo + I <= hi - I (sequence bounds)
+        .filter(F.expr(f"_lo_w + INTERVAL {step_iv} < _hi_w"))
+        .select(
+            "series_id",
+            F.explode(
+                F.expr(
+                    f"sequence(_lo_w + INTERVAL {step_iv}, _hi_w - INTERVAL {step_iv},"
+                    f" INTERVAL {step_iv})"
+                )
+            ).alias("_b_w"),
+        )
+        .select(
+            "series_id",
+            F.to_utc_timestamp("_b_w", tz_name).cast("long").alias("bucket"),
+        )
+        .select(
+            "series_id",
+            "bucket",
+            F.col("bucket").alias("epoch"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    return out.unionByName(ph)
