@@ -33,11 +33,19 @@ PTS = (
     "FROM events"
 )
 
-# cumulative meter per series (monotone non-decreasing: value > 0)
+# cumulative meter per series (monotone non-decreasing: value > 0).
+# Same-second events are pre-summed per (series, epoch) BEFORE the running
+# sum: second-truncation can land two raw events on one epoch, and a running
+# sum over tied epochs is order-dependent (Spark and DuckDB break the tie
+# differently, which made distribute_linear's bracket value at that epoch
+# engine-dependent — 4 rows at sf0.1).  Unique epochs make every downstream
+# bracket/LOCF lookup deterministic.
 CUM = (
     "SELECT series_id, epoch, sum(value) OVER "
     "(PARTITION BY series_id ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    " AS value FROM (" + PTS + ")"
+    " AS value FROM (SELECT series_id, epoch, sum(value) AS value FROM ("
+    + PTS
+    + ") GROUP BY 1, 2)"
 )
 
 
@@ -80,7 +88,13 @@ def _bucket_sql(epoch_expr: str, period: str, tz: str = "Europe/Madrid") -> str:
 
 
 def _cum_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_as_series(spark, sf_dir)
+    # Pre-sum same-second events per (series, epoch) before the running sum —
+    # see the CUM SQL comment: tied epochs make a running sum order-dependent.
+    ev = (
+        events_as_series(spark, sf_dir)
+        .groupBy("series_id", "epoch")
+        .agg(F.sum("value").alias("value"))
+    )
     w = Window.partitionBy("series_id").orderBy("epoch").rowsBetween(
         Window.unboundedPreceding, 0
     )
