@@ -297,3 +297,44 @@ def test_read_resampled_routing_and_values(spark, src_mat):
     got = _norm(mat.read_resampled(spark, 21600, realtime=True))
     exp = _norm(R.reaggregate(full2["1h"], 21600))
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_refresh_conf_scoped_to_engine_session(spark, src_mat, tmp_path):
+    """VERDICT r04 task 7: refresh() must never mutate the CALLER session's
+    SQL conf — tier writes get INT64 parquet timestamps from the engine's own
+    newSession().  Pinned two ways: (1) any conf.set on the caller session
+    during refresh trips a tripwire; (2) after refresh, a caller-session
+    write still uses the caller's conf (INT96 default), while the tier files
+    are INT64 with footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src, mat = src_mat
+    src.append(_turns(spark, ["a", "b"], n=30))
+    key = "spark.sql.parquet.outputTimestampType"
+    assert spark.conf.get(key) == "INT96"  # Spark default, untouched by engine
+
+    calls = []
+    orig_set = spark.conf.set
+    spark.conf.set = lambda k, v: (calls.append(k), orig_set(k, v))
+    try:
+        mat.refresh(spark)
+    finally:
+        spark.conf.set = orig_set
+    assert key not in calls, "refresh mutated the caller session conf"
+    assert spark.conf.get(key) == "INT96"
+
+    # tier files: INT64 timestamps with min/max stats (manifest pruning works)
+    tier_files = glob.glob(os.path.join(mat.tiers["1h"].path, "data", "*", "*.parquet"))
+    assert tier_files
+    pf = pq.ParquetFile(tier_files[0])
+    idx = pf.schema_arrow.get_field_index("bucket")
+    assert pf.metadata.schema.column(idx).physical_type == "INT64"
+
+    # an unrelated caller-session write after (or between) refreshes keeps
+    # the caller's own conf: INT96 physical type
+    other = str(tmp_path / "caller_write")
+    spark.sql("select timestamp'2024-01-01 00:00:00' as ts").write.parquet(other)
+    pf2 = pq.ParquetFile(glob.glob(other + "/*.parquet")[0])
+    assert pf2.metadata.schema.column(0).physical_type == "INT96"

@@ -87,26 +87,33 @@ def test_incremental_reads_only_added_files(spark, tmp_path):
 
 
 def test_uncommitted_data_is_invisible(spark, tmp_path):
-    """Crash between data write and pointer swap == clean previous state."""
+    """Crash before the manifest link == clean previous state; crash AFTER
+    the manifest link (the commit point) but before the pointer cache write
+    == committed and visible (pointer reconciles from manifests on disk)."""
     t = SnapshotTable(str(tmp_path / "tbl"))
     d1 = _turns(spark, ["a"])
     t.append(d1)
-    # simulate a writer dying after staging data files but before commit
+    # simulate a writer dying after staging data files but before commit:
+    # staged files are invisible (readers only open manifest-listed files)
     t._write_data(_turns(spark, ["ghost"]))
     assert _rows(t.read(spark)) == _rows(d1)
-    # and dying after the manifest write but before the pointer swap:
-    files, schema = t._write_data(_turns(spark, ["ghost2"]))
-    from tsengine.sources.snapshots import _write_json_atomic
-    man = {"snapshot_id": 99, "parent_id": 1, "operation": "append",
-           "committed_at": 0, "schema": schema, "files": files,
-           "added": [f["path"] for f in files], "added_rows": 0, "added_bytes": 0}
-    _write_json_atomic(t._snap_path(99), man)
-    assert t.current_snapshot_id() == 1
-    assert _rows(t.read(spark)) == _rows(d1)
-    # recovery: the next append still works
+    # dying after the manifest link but before the pointer cache write: the
+    # link IS the commit point, so the snapshot is durable and visible
+    d2 = _turns(spark, ["late"])
+    files, schema = t._write_data(d2)
+    man = {"snapshot_id": 2, "parent_id": 1, "operation": "append",
+           "committed_at": 0, "schema": schema,
+           "files": t.snapshot(1)["files"] + files,
+           "added": [f["path"] for f in files], "removed": [],
+           "added_rows": sum(f["rows"] for f in files), "added_bytes": 0}
+    with open(t._snap_path(2), "x") as f:
+        json.dump(man, f)
+    assert t.current_snapshot_id() == 2  # reconciled, pointer still says 1
+    assert _rows(t.read(spark)) == _rows(d1.unionByName(d2))
+    # recovery: the next append builds on the reconciled head
     t2 = SnapshotTable(str(tmp_path / "tbl"))
     t2.append(_turns(spark, ["b"]))
-    assert t2.current_snapshot_id() == 2
+    assert t2.current_snapshot_id() == 3
 
 
 def test_manifest_file_pruning(spark, tmp_path):
@@ -290,3 +297,93 @@ def test_compact_cluster_by_narrows_key_pruning(spark, tmp_path):
     planned = t._plan_files(man, None, None,
                             where={"conv_id": ("conv_000", "conv_003")})
     assert len(planned) < len(files)
+
+
+def test_interleaved_appends_retry_and_all_land(spark, tmp_path):
+    """VERDICT r04 task 2: a writer that loses the commit race RETRIES
+    against the new current snapshot — both appends land, each as its own
+    snapshot, no lost update."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_turns(spark, ["a"]))
+    # writer A stages its data while holding a now-stale parent
+    files, schema = t._write_data(_turns(spark, ["b"]))
+    # writer B commits in between
+    SnapshotTable(t.path).append(_turns(spark, ["c"]))
+    sid = t._retrying_commit("append", files, schema, parent=1)
+    assert sid == 3
+    got = _rows(t.read(spark))
+    exp = _rows(_turns(spark, ["a"]).unionByName(_turns(spark, ["b"]))
+                .unionByName(_turns(spark, ["c"])))
+    assert got == exp
+
+
+def test_exclusive_manifest_link_arbitrates_same_sid(spark, tmp_path):
+    """Two writers that both passed the parent check can never both own a
+    snapshot id: the manifest hard-link is exclusive.  Simulated by planting
+    a competing manifest for the next sid WITHOUT a pointer update (also the
+    crash-after-link shape) — the commit must lose, and the planted commit
+    must be visible (pointer reconciles from manifests on disk)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_turns(spark, ["a"]))
+    assert t.current_snapshot_id() == 1
+    # competing writer linked snap-2 but crashed before the pointer write
+    man = dict(t.snapshot(1))
+    man.update({"snapshot_id": 2, "parent_id": 1, "added": [], "removed": [],
+                "added_rows": 0, "added_bytes": 0})
+    with open(t._snap_path(2), "x") as f:
+        json.dump(man, f)
+    # commit point = manifest link: the planted commit IS the current head
+    assert t.current_snapshot_id() == 2
+    files, schema = t._write_data(_turns(spark, ["b"]))
+    with pytest.raises(CommitConflict):
+        t._commit("append", files, schema, expected_parent=1)
+    # the retrying path lands cleanly after the conflict
+    assert t._retrying_commit("append", files, schema, parent=1) == 3
+
+
+def test_threaded_writers_serialize(spark, tmp_path):
+    """Interleaved-commit pin: N threads appending to the SAME table
+    concurrently — every append lands exactly once (row multiset equals the
+    union; snapshot ids are distinct and contiguous)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    convs = [f"w{i}" for i in range(6)]
+
+    def one(c):
+        # each thread uses its own table handle, like separate processes
+        return SnapshotTable(t.path).append(_turns(spark, [c], n=10))
+
+    with ThreadPoolExecutor(6) as ex:
+        sids = list(ex.map(one, convs))
+    assert sorted(sids) == [1, 2, 3, 4, 5, 6]
+    got = _rows(t.read(spark))
+    exp = []
+    for c in convs:
+        exp.extend(_rows(_turns(spark, [c], n=10)))
+    assert got == sorted(exp)
+
+
+def test_replace_conflict_with_removed_files_recomputes(spark, tmp_path):
+    """A replace commit whose dropped files were already removed by a
+    concurrent commit must surface CommitConflict (never resurrect or
+    double-drop), while a replace racing a plain APPEND retries through."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_turns(spark, ["a"]))
+    t.append(_turns(spark, ["b"]))
+    victim = t.snapshot(1)["added"][0]
+
+    # race 1: concurrent append -> retry succeeds
+    files, schema = t._write_data(_turns(spark, ["c"]))
+    SnapshotTable(t.path).append(_turns(spark, ["d"]))
+    sid = t._retrying_commit("replace", files, schema, parent=2,
+                             removed_paths={victim})
+    assert sid == 4
+    live = {f["path"] for f in t.snapshot(sid)["files"]}
+    assert victim not in live
+
+    # race 2: the same victim is already gone -> conflict, not silence
+    files2, schema2 = t._write_data(_turns(spark, ["e"]))
+    with pytest.raises(CommitConflict, match="recompute"):
+        t._retrying_commit("replace", files2, schema2, parent=2,
+                           removed_paths={victim})

@@ -147,6 +147,32 @@ class MaterializedTiers:
         self.convstate = SnapshotTable(
             os.path.join(state_dir, "convstate"), ts_col=None
         )
+        # engine-scoped writer session (see _writer_session)
+        self._wspark: SparkSession | None = None
+
+    def _writer_session(self, spark: SparkSession) -> SparkSession:
+        """Session-scoped conf isolation for tier writes (VERDICT r04 task 7).
+
+        Tier parquet needs INT64 timestamps (INT96 carries no footer min/max,
+        blinding manifest pruning), but pinning that conf on the CALLER's
+        session during a concurrent refresh leaks it to unrelated writers in
+        the same session.  ``newSession()`` shares the SparkContext (cached
+        data, scheduler) while giving the engine its own runtime SQL conf, so
+        refresh plans built here write INT64 and the caller's session conf is
+        never touched.  Builder-time confs (shuffle partitions, AQE) live in
+        the shared SparkContext conf and are inherited; caller RUNTIME conf
+        overrides are deliberately not (engine writes should not depend on
+        them)."""
+        if (
+            self._wspark is None
+            or self._wspark.sparkContext is not spark.sparkContext
+        ):
+            ws = spark.newSession()
+            ws.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            self._wspark = ws
+        return self._wspark
 
     # ---------------- positions ----------------
 
@@ -377,6 +403,9 @@ class MaterializedTiers:
         self.last_refresh_timings = {}
         if head is None:
             return self.positions()
+        # all refresh plans (reads, rollups, writes) run in the engine's own
+        # session so the INT64-timestamp conf never leaks to the caller
+        spark = self._writer_session(spark)
         commits = 0
         while True:
             pos = self.positions()
@@ -425,25 +454,16 @@ class MaterializedTiers:
 
             try:
                 if fail_after is None and len(pending) > 1:
-                    # pin the parquet timestamp conf for the whole parallel
-                    # section: _write_data's per-write set/restore would
-                    # race across threads otherwise
-                    key = "spark.sql.parquet.outputTimestampType"
-                    prev = spark.conf.get(key, None)
-                    spark.conf.set(key, "TIMESTAMP_MICROS")
-                    try:
-                        from concurrent.futures import ThreadPoolExecutor
-                        with ThreadPoolExecutor(len(pending)) as ex:
-                            futs = [ex.submit(_advance_one, c) for c in pending]
-                            errs = [f.exception() for f in futs]
-                        for e in errs:
-                            if e is not None:
-                                raise e
-                    finally:
-                        if prev is None:
-                            spark.conf.unset(key)
-                        else:
-                            spark.conf.set(key, prev)
+                    # the engine session already pins TIMESTAMP_MICROS
+                    # (_writer_session), so _write_data's per-write
+                    # set/restore is a no-op and cannot race across threads
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(len(pending)) as ex:
+                        futs = [ex.submit(_advance_one, c) for c in pending]
+                        errs = [f.exception() for f in futs]
+                    for e in errs:
+                        if e is not None:
+                            raise e
                     commits += len(pending)
                 else:
                     for c in pending:

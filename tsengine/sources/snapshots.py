@@ -5,12 +5,21 @@ runtime jar, so this module implements the three Iceberg capabilities the
 rollup/retention engine actually consumes — as a from-scratch manifest
 format, NOT a port of Iceberg's:
 
-- **atomic snapshot commits**: data files land under ``data/<commit-uuid>/``
-  first, then a manifest ``snap-<n>.json`` is written tmp+rename and the
-  ``current.json`` pointer is swapped with ``os.replace`` (atomic on one
-  filesystem).  A crash anywhere before the pointer swap leaves the table
-  bit-identical at the previous snapshot; orphaned data files are invisible
-  (readers only ever open files listed in a committed manifest).
+- **atomic snapshot commits with optimistic concurrency**: data files land
+  under ``data/<commit-uuid>/`` first; the commit point is an EXCLUSIVE
+  hard-link of the manifest to ``snap-<n>.json`` (``os.link`` fails with
+  EEXIST if another writer owns that id — the same arbitration Iceberg's
+  HadoopTableOperations gets from rename-without-overwrite).  Exactly one
+  writer can ever own a snapshot id, so a lost update is impossible by
+  construction: the loser gets ``CommitConflict`` and the public write ops
+  retry against the new current snapshot (re-validating, for replace
+  commits, that their dropped files still exist).  ``current.json`` is a
+  monotonic cache of the head pointer; ``current_snapshot_id`` reconciles
+  it with the manifests on disk, so a crash between manifest link and
+  pointer write still leaves the commit visible.  A crash anywhere before
+  the manifest link leaves the table bit-identical at the previous
+  snapshot; orphaned data files are invisible (readers only ever open
+  files listed in a committed manifest).
 - **time travel / snapshot isolation**: ``read(snapshot_id=...)`` and
   ``as_of(epoch)`` plan from a pinned manifest, so concurrent appends never
   change what an in-flight job reads.
@@ -146,12 +155,38 @@ class SnapshotTable:
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self.meta_dir, f"snap-{sid:08d}.json")
 
-    def current_snapshot_id(self) -> int | None:
+    def _pointer(self) -> int | None:
         try:
             with open(os.path.join(self.meta_dir, "current.json")) as f:
                 return json.load(f)["snapshot_id"]
         except FileNotFoundError:
             return None
+
+    def _max_manifest_id(self) -> int | None:
+        """Largest committed manifest on disk (the exclusive link IS the
+        commit point; the pointer file is only a cache of this)."""
+        if not os.path.isdir(self.meta_dir):
+            return None
+        best = None
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    sid = int(name[5:-5])
+                except ValueError:
+                    continue
+                best = sid if best is None else max(best, sid)
+        return best
+
+    def current_snapshot_id(self) -> int | None:
+        """Head snapshot: the pointer cache reconciled with manifests on
+        disk, so a writer that crashed between the manifest link (the commit
+        point) and the pointer write still has its commit visible."""
+        ptr, man = self._pointer(), self._max_manifest_id()
+        if ptr is None:
+            return man
+        if man is None:
+            return ptr
+        return max(ptr, man)
 
     def snapshot(self, sid: int) -> dict:
         with open(self._snap_path(sid)) as f:
@@ -240,39 +275,109 @@ class SnapshotTable:
             "added_rows": sum(f["rows"] for f in new_files),
             "added_bytes": sum(f["bytes"] for f in new_files),
         }
-        _write_json_atomic(self._snap_path(sid), manifest)
-        # pointer swap last: the one atomic step that makes sid visible
-        cur2 = self.current_snapshot_id()
-        if cur2 != expected_parent:
+        # Exclusive hard-link = the commit point.  os.link fails with EEXIST
+        # when another writer already owns this snapshot id, so two racing
+        # writers can NEVER both commit the same sid — the check-then-write
+        # window of a pointer swap does not exist here.
+        tmp = f"{self._snap_path(sid)}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._snap_path(sid))
+        except FileExistsError:
             raise CommitConflict(
-                f"lost commit race: current moved {expected_parent} -> {cur2}"
-            )
-        _write_json_atomic(os.path.join(self.meta_dir, "current.json"),
-                           {"snapshot_id": sid})
+                f"lost commit race: snapshot {sid} was committed by another "
+                "writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        self._advance_pointer(sid)
         return sid
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> int:
-        """Append ``df`` as a new snapshot; returns the new snapshot id."""
+    def _advance_pointer(self, sid: int) -> None:
+        """Best-effort monotonic cache update; current_snapshot_id reconciles
+        with manifests, so an out-of-order or lost pointer write is benign."""
+        cur = self._pointer()
+        if cur is None or sid > cur:
+            _write_json_atomic(os.path.join(self.meta_dir, "current.json"),
+                               {"snapshot_id": sid})
+
+    def _retrying_commit(self, op: str, files: list[dict], schema: str,
+                         parent: int | None,
+                         removed_paths: set[str] | None = None,
+                         properties: dict | None = None,
+                         max_retries: int = 10) -> int:
+        """Optimistic-concurrency loop (Iceberg's commit retry): on a lost
+        race, re-read the new current snapshot and re-attempt the commit
+        against it.  The staged data files are still valid — only the
+        manifest base changes.  Replace commits additionally re-validate
+        that every dropped path still exists in the new current manifest;
+        if a concurrent commit already removed one (e.g. two compactions
+        picking the same files), the conflict is surfaced to the caller,
+        who must recompute — retrying blindly would resurrect or double-
+        drop files."""
+        attempt = 0
+        while True:
+            try:
+                return self._commit(op, files, schema, parent,
+                                    removed_paths=removed_paths,
+                                    properties=properties)
+            except CommitConflict:
+                if attempt >= max_retries:
+                    raise
+                attempt += 1
+                time.sleep(0.002 * attempt)
+                parent = self.current_snapshot_id()
+                if removed_paths and parent is not None:
+                    live = {f["path"] for f in self.snapshot(parent)["files"]}
+                    gone = removed_paths - live
+                    if gone:
+                        raise CommitConflict(
+                            f"concurrent commit already removed {sorted(gone)[:3]}"
+                            f"{'...' if len(gone) > 3 else ''}; recompute the "
+                            "replace against the new snapshot"
+                        ) from None
+
+    def append(self, df: DataFrame, properties: dict | None = None,
+               max_retries: int = 10) -> int:
+        """Append ``df`` as a new snapshot; returns the new snapshot id.
+        Concurrent-writer safe: a lost commit race is retried against the
+        new current snapshot (the staged files stay valid), so interleaved
+        appends from multiple writers all land, each as its own snapshot."""
         parent = self.current_snapshot_id()
         files, schema = self._write_data(df)
-        return self._commit("append", files, schema, parent, properties=properties)
+        return self._retrying_commit("append", files, schema, parent,
+                                     properties=properties,
+                                     max_retries=max_retries)
 
-    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, properties: dict | None = None,
+                  max_retries: int = 10) -> int:
         """Replace table contents as a new snapshot (old snapshots remain
         time-travel readable until expired)."""
         parent = self.current_snapshot_id()
         files, schema = self._write_data(df)
-        return self._commit("overwrite", files, schema, parent, properties=properties)
+        return self._retrying_commit("overwrite", files, schema, parent,
+                                     properties=properties,
+                                     max_retries=max_retries)
 
     def replace_files(self, df: DataFrame | None, drop_paths: list[str],
-                      properties: dict | None = None) -> int:
+                      properties: dict | None = None,
+                      max_retries: int = 10) -> int:
         """Partial-overwrite commit (Iceberg's overwrite-with-deletes): the
         new snapshot keeps every current file NOT in ``drop_paths``, plus the
         files of ``df`` (None = pure delete).  This is what makes incremental
         tier refresh and retention O(touched slice), not O(table): untouched
         data files are carried into the new manifest by reference, never
         rewritten.  ``drop_paths`` are table-relative paths as listed in the
-        manifest."""
+        manifest.
+
+        Concurrent-writer safe: a lost race against an APPEND retries and
+        succeeds (the appended files are carried into the new base); a lost
+        race against a commit that REMOVED any of ``drop_paths`` raises
+        ``CommitConflict`` — the replacement was computed from files that no
+        longer exist, so the caller must recompute."""
         parent = self.current_snapshot_id()
         if parent is None:
             raise ValueError("replace_files on an empty table")
@@ -280,8 +385,10 @@ class SnapshotTable:
             files, schema = self._write_data(df)
         else:
             files, schema = [], self.snapshot(parent)["schema"]
-        return self._commit("replace", files, schema, parent,
-                            removed_paths=set(drop_paths), properties=properties)
+        return self._retrying_commit("replace", files, schema, parent,
+                                     removed_paths=set(drop_paths),
+                                     properties=properties,
+                                     max_retries=max_retries)
 
     def truncate_before(self, cutoff: int, properties: dict | None = None) -> int | None:
         """Retention: drop every data file whose max ``ts_col`` stat is below
