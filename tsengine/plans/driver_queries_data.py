@@ -2726,23 +2726,20 @@ FROM l GROUP BY 1, 2
 
 
 def _image_features_sql() -> str:
-    """Independent numpy recompute of the deterministic fake decode chain
-    (synth payload bytes -> md5 seed -> RandomState pixels -> mean), emitted
-    as a VALUES literal.  Duplicates the STUB decoder's arithmetic on
-    purpose: with no codec libs in the container the 'true' pixels ARE the
-    seeded fake, and this recompute shares no code with the engine path."""
-    import hashlib
-
+    """Roundtrip oracle over the REAL image bytes (VERDICT r04 task 3): the
+    engine path is synth pixels -> PPM/BMP ENCODE -> Spark-side stdlib
+    DECODE -> mean; this oracle independently regenerates the SOURCE pixel
+    arrays from the synth seed recipe and takes their mean directly, sharing
+    no codec code — so any parser defect (row order, BGR swap, padding,
+    header tokenizing) shows up as a value mismatch."""
     import numpy as np
 
     vals = []
     for i in range(48):
-        rng = np.random.RandomState(42 + i)
-        payload = rng.bytes(256 + int(rng.randint(0, 512)))
         if i % 3 != 0:  # kinds cycle image/audio/video
             continue
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-        img = np.random.RandomState(seed).randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        rng = np.random.RandomState(42 + i)
+        img = rng.randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
         vals.append((i, float(img.mean())))
     rows = ",\n    ".join(f"({i}, {m!r})" for i, m in vals)
     return f"""
@@ -2757,23 +2754,28 @@ ORACLE["q_multimodal_image_features"] = _image_features_sql()
 
 
 def _audio_features_sql(n_bands: int = 8) -> str:
-    """Independent numpy recompute of the fake audio decode -> rFFT ->
-    band-mean chain (same pattern as the image oracle: duplicates the stub
-    arithmetic on purpose, shares no engine code)."""
-    import hashlib
-
+    """Roundtrip oracle over the REAL WAV bytes: the engine path is synth
+    samples -> RIFF PCM16 ENCODE -> Spark-side chunk-walking DECODE -> rFFT
+    -> band means; this oracle regenerates the SOURCE samples from the synth
+    seed recipe, applies the int16 quantization arithmetic inline (the two
+    lines an independent reimplementer would also write), and runs the same
+    float32 FFT chain — no engine codec code is imported, so any parser
+    defect (chunk walk, scale, endianness) mismatches."""
     import numpy as np
 
+    sr, dur = 16000, 0.5
+    t = np.arange(int(sr * dur)) / sr
     vals = []
     for i in range(48):
-        rng = np.random.RandomState(42 + i)
-        payload = rng.bytes(256 + int(rng.randint(0, 512)))
         if i % 3 != 1:  # kinds cycle image/audio/video
             continue
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-        wav = (
-            np.random.RandomState(seed).standard_normal(int(16000 * 2.5)) * 0.1
-        ).astype("float32")
+        rng = np.random.RandomState(42 + i)
+        freq = 220.0 * (1 + i % 5)
+        samples = (0.5 * np.sin(2 * np.pi * freq * t)
+                   + 0.05 * rng.standard_normal(t.size))
+        # PCM16 roundtrip quantization, reimplemented inline
+        pcm = np.clip(np.round(samples * 32767.0), -32768, 32767)
+        wav = (pcm.astype("int16").astype("float32")) / np.float32(32768.0)
         spec = np.abs(np.fft.rfft(wav))
         for band, b in enumerate(np.array_split(spec, n_bands)):
             vals.append((i, band, float(b.mean())))
