@@ -271,6 +271,18 @@ def main():
         if rec["source_from_id"] == 1 and rec["component"] in ("1m", "1h", "1d"):
             reused += rec["reused_files"]
             rewritten += rec["rewritten_files"]
+    # tier block store (r05): freeze the 1h tier's numeric plane into
+    # Gorilla block columns and read it back THROUGH the in-plan decoder
+    # (timed) — proving the compressed form is the READABLE storage form;
+    # bytes/point is the at-rest retention bill for the numeric plane
+    blk_stats = mat.freeze_tier_blocks(spark, "1h")
+    tblk = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _run_noop(mat.read_tier_compressed(spark, "1h"))
+        dt = time.perf_counter() - t0
+        tblk = dt if tblk is None else min(tblk, dt)
+    timings["q_tier_compressed_read"] = round(tblk, 3)
     shutil.rmtree(mroot, ignore_errors=True)
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
@@ -332,6 +344,11 @@ def main():
         "incremental_tier_files_rewritten": rewritten,
         "gorilla_compression_ratio": comp_ratio,
         "gorilla_bytes_per_point": comp_bpp,
+        # 1h tier numeric plane at rest as Gorilla block columns (6 value
+        # streams + shared ts stream per (conv, day) block; dist maps stay
+        # in the parquet row store)
+        "tier_block_bytes": blk_stats["bytes"],
+        "tier_block_bytes_per_point": blk_stats["bytes_per_point"],
         "cpus": int(cpus),
     }
     print(json.dumps(out))

@@ -40,6 +40,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -142,9 +143,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions="8")
+    cpus = os.environ.get("TSENGINE_ORACLE_CPUS", "8")
+    spark = get_spark(app_name="oracle-check", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
     con = duckdb.connect()
-    import os
 
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

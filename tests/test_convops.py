@@ -108,11 +108,21 @@ def test_conv_forks_min_depth_and_group_cap(spark):
     assert {(r.conv_a, r.conv_b, r.shared_depth) for r in out.collect()} == {
         ("c", "d", 5)
     }
-    # max_group=3: the depth-3 cell holds 4 convs (a,b,c,d) -> dropped as
-    # boilerplate, but the deeper (smaller) cells still pair
+    # max_group=3: the depth-3 cell holds 4 convs (a,b,c,d) -> excluded
+    # from pairing as boilerplate AND surfaced as a template marker row
+    # (r04 task 5), while the deeper (smaller) cells still pair
     out = convops.conv_forks(t, min_depth=3, max_group=3)
-    got = {(r.conv_a, r.conv_b): r.shared_depth for r in out.collect()}
-    assert got == {("a", "b"): 4, ("c", "d"): 5}
+    rows = out.collect()
+    pairs = {(r.conv_a, r.conv_b): r.shared_depth
+             for r in rows if not r.template}
+    assert pairs == {("a", "b"): 4, ("c", "d"): 5}
+    assert all(r.group_n is None for r in rows if not r.template)
+    markers = [(r.shared_depth, r.group_n) for r in rows if r.template]
+    assert markers == [(3, 4)]  # the depth-3 cell shared by a,b,c,d
+    marker_row = [r for r in rows if r.template][0]
+    assert marker_row.conv_a is None and marker_row.conv_b is None
+    # schema identical whether or not any cell overflows
+    assert out.columns == convops.conv_forks(t, min_depth=3).columns
 
 
 def test_conv_forks_max_depth_truncates(spark):
@@ -202,3 +212,34 @@ def test_tool_loops_plan_single_exchange(spark):
     t = _calls(spark, [("c", 1, "a", 0)])
     plan = convops.tool_loops(t)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_conv_forks_confirm_rejects_planted_collision(spark, monkeypatch):
+    """r04 task 6: with the turn hash sabotaged to a constant (every turn
+    'collides'), the hash stage claims EVERY conv pair shares a full
+    prefix; confirm=True re-verifies against the actual (role, text) turns
+    and keeps only the textually-true forks at their true depths."""
+    t = _fork_frame(spark)
+    truth = {(r.conv_a, r.conv_b): r.shared_depth
+             for r in convops.conv_forks(t, min_depth=3).collect()
+             if not r.template}
+
+    monkeypatch.setattr(
+        convops, "_turn_hash", lambda role, text: F.lit(7).cast("long")
+    )
+    collided = convops.conv_forks(t, min_depth=3)
+    got_pairs = {(r.conv_a, r.conv_b) for r in collided.collect() if not r.template}
+    assert len(got_pairs) > len(truth)  # collisions produced false pairs
+
+    confirmed = convops.conv_forks(t, min_depth=3, confirm=True)
+    got = {(r.conv_a, r.conv_b): r.shared_depth
+           for r in confirmed.collect() if not r.template}
+    assert got == truth  # false pairs rejected, true depths restored
+
+
+def test_conv_forks_confirm_noop_without_collisions(spark):
+    """With healthy hashes, confirm=True must not change the result."""
+    t = _fork_frame(spark)
+    a = convops.conv_forks(t, min_depth=3)
+    b = convops.conv_forks(t, min_depth=3, confirm=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

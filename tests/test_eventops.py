@@ -568,9 +568,12 @@ def test_skew_guard_hot_key(spark):
     assert got[99]["t_a"] is None and got[99]["steps_reached"] is None
     for u in range(1, 6):
         assert got[u]["overflow"] is False and got[u]["steps_reached"] == 2
-    # no cap: plan/columns unchanged (no overflow column, no guard joins)
+    # no cap: schema-stable contract — overflow present as constant False,
+    # and the rest of the plan unchanged (no guard joins)
     plain = E.funnel(df, ["a", "b"])
-    assert "overflow" not in plain.columns
+    assert "overflow" in plain.columns
+    assert plain.columns == E.funnel(df, ["a", "b"], max_per_key=100).columns
+    assert plain.where(F.col("overflow")).count() == 0
     assert "Join" not in plain._jdf.queryExecution().optimizedPlan().toString()
 
     # --- ewma (same shape for cusum/holt/lttb via _guarded) ---
@@ -581,7 +584,9 @@ def test_skew_guard_hot_key(spark):
     assert len(hot) == 1 and hot[0]["overflow"] is True and hot[0]["ewma"] is None
     ok = ew.where((F.col("series_id") == 1) & ~F.col("overflow")).count()
     assert ok == 10
-    assert "overflow" not in E.ewma(vdf).columns
+    plain_ew = E.ewma(vdf)
+    assert plain_ew.columns == ew.columns  # schema identical with/without cap
+    assert plain_ew.where(F.col("overflow")).count() == 0
 
     # --- cohort_retention: excluded users -> one summary row ---
     cr = E.cohort_retention(df, width_sec=100, max_per_key=100).collect()
@@ -592,4 +597,8 @@ def test_skew_guard_hot_key(spark):
     uni = df.where(F.col("user_id") != 99)
     cr2 = E.cohort_retention(uni, width_sec=100, max_per_key=100).collect()
     assert all(r["cohort"] is not None for r in cr2)
-    assert "overflow" not in E.cohort_retention(uni, width_sec=100).columns
+    plain_cr = E.cohort_retention(uni, width_sec=100)
+    assert plain_cr.columns == E.cohort_retention(
+        uni, width_sec=100, max_per_key=100
+    ).columns
+    assert plain_cr.where(F.col("overflow")).count() == 0

@@ -338,3 +338,44 @@ def test_refresh_conf_scoped_to_engine_session(spark, src_mat, tmp_path):
     spark.sql("select timestamp'2024-01-01 00:00:00' as ts").write.parquet(other)
     pf2 = pq.ParquetFile(glob.glob(other + "/*.parquet")[0])
     assert pf2.metadata.schema.column(0).physical_type == "INT96"
+
+
+def test_tier_block_store_roundtrip_and_pruning(spark, src_mat):
+    """Gorilla block-column tier storage (VERDICT r04 task 4): freezing a
+    tier re-encodes its numeric plane as per-(conv, day) block rows, and
+    read_tier_compressed decodes IN-PLAN to exactly the row store's values;
+    day-bounded reads stay equal under manifest pruning; a stale block
+    store (tier advanced after freeze) is rejected."""
+    src, mat = src_mat
+    d1 = _turns(spark, ["a", "b", "c"], n=400, gap=700)  # spans several days
+    src.append(d1)
+    mat.refresh(spark)
+    stats = mat.freeze_tier_blocks(spark, "1h")
+    assert stats["points"] > 0 and stats["bytes"] > 0
+
+    cols = ["conv_id", "tier", "bucket", "cnt", "cnt_lat",
+            "vmin", "vmax", "vsum", "vmean"]
+    exp = mat.read_tier(spark, "1h").select(*cols)
+    got = mat.read_tier_compressed(spark, "1h")
+    assert got.columns == cols
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # bounded read: equal to the row store under the same bounds
+    lo = 1_600_000_000 + 86400
+    hi = lo + 2 * 86400 - 1
+    exp_b = mat.read_tier(spark, "1h", lo=lo, hi=hi).select(*cols)
+    got_b = mat.read_tier_compressed(spark, "1h", lo=lo, hi=hi)
+    assert got_b.exceptAll(exp_b).count() == 0 and exp_b.exceptAll(got_b).count() == 0
+
+    # staleness contract: advancing the tier invalidates the frozen blocks
+    src.append(_turns(spark, ["later"], n=20, idx0=0))
+    mat.refresh(spark)
+    with pytest.raises(ValueError, match="freeze_tier_blocks"):
+        mat.read_tier_compressed(spark, "1h")
+    # explicit opt-in still reads the frozen snapshot
+    assert mat.read_tier_compressed(spark, "1h", allow_stale=True).count() > 0
+    # re-freeze reconciles
+    mat.freeze_tier_blocks(spark, "1h")
+    exp2 = mat.read_tier(spark, "1h").select(*cols)
+    got2 = mat.read_tier_compressed(spark, "1h")
+    assert got2.exceptAll(exp2).count() == 0 and exp2.exceptAll(got2).count() == 0

@@ -487,6 +487,94 @@ class MaterializedTiers:
         files manifest-side before the residual filter."""
         return self.tiers[tier].read(spark, lo=lo, hi=hi)
 
+    # ------------- Gorilla block-column tier storage (VERDICT r04 task 4)
+
+    #: numeric tier plane carried by the block store; role/tool dist maps
+    #: stay in the parquet row store (Gorilla XOR is a float-stream codec;
+    #: the maps are already dictionary-encoded well by parquet)
+    BLOCK_VALUE_COLS = ("cnt", "cnt_lat", "vmin", "vmax", "vsum", "vmean")
+
+    def block_table(self, tier: str) -> SnapshotTable:
+        """Snapshot table holding the tier's Gorilla block rows, one block
+        per (conv_id, day); manifest stats index the day column, so
+        time-bounded compressed reads prune whole days of blocks."""
+        return SnapshotTable(
+            os.path.join(self.state_dir, f"tier={tier}-blocks"), ts_col="day"
+        )
+
+    def freeze_tier_blocks(self, spark: SparkSession, tier: str) -> dict:
+        """Re-encode the tier's numeric plane as Gorilla block columns —
+        the 100-TB storage form: per (conv_id, day) one row with a shared
+        delta-of-delta timestamp stream and one XOR stream per value
+        column, readable IN-PLAN via read_tier_compressed's mapInPandas
+        decode (no offline tool, no driver loop).
+
+        Freeze is a snapshot overwrite of the block table stamped with the
+        tier's source position, so staleness is detectable at read time.
+        Returns {"snapshot_id", "points", "bytes", "bytes_per_point"} —
+        points from the ROW store's manifest (action-free), bytes from the
+        block store's manifest."""
+        wspark = self._writer_session(spark)
+        num = [F.col(c).cast("double").alias(c) for c in self.BLOCK_VALUE_COLS]
+        rows = (
+            self.tiers[tier].read(wspark)
+            .select("conv_id", "bucket", *num)
+            .withColumn("day", (F.col("bucket") - F.col("bucket") % 86400).cast("long"))
+        )
+        from tsengine import compress as C
+
+        blocks = C.compress_table(
+            rows, group_cols=("conv_id", "day"), epoch_col="bucket",
+            value_cols=self.BLOCK_VALUE_COLS,
+        )
+        tbl = self.block_table(tier)
+        sid = tbl.overwrite(blocks, properties={_SRC_PROP: self._position(tier)})
+        man = tbl.snapshot(sid)
+        row_man = self.tiers[tier].snapshot(self.tiers[tier].current_snapshot_id())
+        points = sum(f["rows"] for f in row_man["files"])
+        nbytes = sum(f["bytes"] for f in man["files"])
+        return {
+            "snapshot_id": sid, "points": points, "bytes": nbytes,
+            "bytes_per_point": round(nbytes / max(points, 1), 3),
+        }
+
+    def read_tier_compressed(self, spark: SparkSession, tier: str,
+                             lo: int | None = None, hi: int | None = None,
+                             allow_stale: bool = False) -> DataFrame:
+        """Numeric tier plane decoded from the Gorilla block store, same
+        (conv_id, tier, bucket, cnt..vmean) shape as read_tier minus the
+        dist maps.  lo/hi prune blocks manifest-side on the day column
+        before the in-plan decode; the residual bucket filter lands AFTER
+        decompression (a block straddling the bound decodes whole, rows
+        outside the range are dropped).  Raises when the row tier has
+        advanced past the frozen position unless allow_stale=True."""
+        tbl = self.block_table(tier)
+        frozen = int(tbl.properties().get(_SRC_PROP, -1))
+        if not allow_stale and frozen != self._position(tier):
+            raise ValueError(
+                f"block store for tier {tier!r} is at source position "
+                f"{frozen} but the row tier is at {self._position(tier)}; "
+                "re-run freeze_tier_blocks (or pass allow_stale=True)"
+            )
+        dlo = None if lo is None else (lo // 86400) * 86400
+        blocks = tbl.read(spark, lo=dlo, hi=hi)
+        from tsengine import compress as C
+
+        out = C.decompress_table(
+            blocks, group_cols=("conv_id", "day"), epoch_col="bucket",
+            value_cols=self.BLOCK_VALUE_COLS,
+        )
+        if lo is not None:
+            out = out.filter(F.col("bucket") >= int(lo))
+        if hi is not None:
+            out = out.filter(F.col("bucket") <= int(hi))
+        return out.select(
+            "conv_id", F.lit(tier).alias("tier"), "bucket",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cnt_lat").cast("long").alias("cnt_lat"),
+            "vmin", "vmax", "vsum", "vmean",
+        )
+
     def read_realtime(self, spark: SparkSession, tier: str,
                       lo: int | None = None, hi: int | None = None) -> DataFrame:
         """Real-time continuous aggregate (the TimescaleDB read contract):

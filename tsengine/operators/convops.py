@@ -211,44 +211,104 @@ def prefix_hashes(transcripts: DataFrame, max_depth: int = 4096) -> DataFrame:
 
 
 def conv_forks(transcripts: DataFrame, min_depth: int = 3,
-               max_depth: int = 4096, max_group: int = 64) -> DataFrame:
+               max_depth: int = 4096, max_group: int = 64,
+               confirm: bool = False) -> DataFrame:
     """Conversation pairs sharing a turn prefix of length >= ``min_depth``
     (role AND text equal turn-by-turn), with the maximal shared depth —
     the fork/retry/resample-branch detector.
 
-    Mechanics: :func:`prefix_hashes` fingerprints every prefix; an
-    aggregation keeps only (depth, ph1, ph2) cells hit by 2..``max_group``
-    conversations; a self-equi-join inside those cells emits candidate
-    pairs; max(depth) per pair collapses the nested prefixes.  Join volume
-    is sum-over-shared-prefixes, never n^2.
+    Output: (conv_a, conv_b, shared_depth, template, group_n).  Pair rows
+    carry template=False, group_n=NULL.  A prefix cell shared by MORE than
+    ``max_group`` conversations (a fleet-wide system preamble) is template
+    text, not a fork — its pair semantics would be quadratic in group size
+    — so instead of dropping silently (VERDICT r04 task 5) each oversized
+    (depth, ph1, ph2) cell surfaces as ONE marker row: conv_a/conv_b NULL,
+    shared_depth = the cell's depth, template=True, group_n = how many
+    conversations share it.  A preamble of length L yields at most
+    L - min_depth + 1 markers (its nested prefixes), bounded by template
+    length, never by fleet size.  Raise ``max_group`` (or pre-strip the
+    preamble with :func:`truncate_context`) when fleet-template pairs are
+    wanted.
 
-    ``max_group`` is an EXPLICIT boilerplate guard, mirrored by the oracle:
-    a prefix shared by more than that many conversations (a fleet-wide
-    system preamble) is template text, not a fork, and its pair semantics
-    would be quadratic in group size.  Raise it (or pre-strip the preamble
-    with :func:`truncate_context`) when fleet-template pairs are wanted.
+    Mechanics: :func:`prefix_hashes` fingerprints every prefix; an
+    aggregation splits (depth, ph1, ph2) cells into pair cells
+    (2..max_group members, self-equi-joined) and template cells (markers);
+    max(depth) per pair collapses the nested prefixes.  Join volume is
+    sum-over-shared-prefixes, never n^2.
 
     Collision honesty: equality is through two independent 2^31-prime
     rolling hashes (~2^62 joint space); at 10^9 shared-prefix cells the
-    expected false-pair count is ~1e-4.  A confirming equi-join on the
-    actual prefix arrays would be O(shared text volume); not worth it
-    below ~2^60 cells."""
+    expected false-pair count is ~1e-4.  ``confirm=True`` (VERDICT r04
+    task 6) removes even that: every candidate pair is re-verified against
+    the ACTUAL (role, text) turns — the true shared depth is recomputed as
+    the last turn before the first textual mismatch, pairs falling below
+    ``min_depth`` (pure hash collisions) are dropped, and deeper-collision
+    pairs are truncated to their textual depth.  Cost O(shared text
+    volume): only turns up to the candidate depth of candidate pairs are
+    ever joined."""
     pref = prefix_hashes(transcripts, max_depth=max_depth).filter(
         F.col("depth") >= min_depth
     )
-    cells = (
-        pref.groupBy("depth", "ph1", "ph2")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
-        .drop("_n")
-    )
+    counted = pref.groupBy("depth", "ph1", "ph2").agg(F.count("*").alias("_n"))
+    cells = counted.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_group)
+    ).drop("_n")
     member = pref.join(cells, ["depth", "ph1", "ph2"])
     a = member.select("depth", "ph1", "ph2", F.col("conv_id").alias("conv_a"))
     b = member.select("depth", "ph1", "ph2", F.col("conv_id").alias("conv_b"))
     pairs = a.join(b, ["depth", "ph1", "ph2"]).filter(
         F.col("conv_a") < F.col("conv_b")
     )
-    return (
+    out = (
         pairs.groupBy("conv_a", "conv_b")
         .agg(F.max("depth").cast("long").alias("shared_depth"))
+    )
+    if confirm:
+        out = _confirm_forks(transcripts, out, min_depth)
+    markers = counted.filter(F.col("_n") > max_group).select(
+        F.lit(None).cast("string").alias("conv_a"),
+        F.lit(None).cast("string").alias("conv_b"),
+        F.col("depth").cast("long").alias("shared_depth"),
+        F.lit(True).alias("template"),
+        F.col("_n").cast("long").alias("group_n"),
+    )
+    return out.select(
+        "conv_a", "conv_b", "shared_depth",
+        F.lit(False).alias("template"),
+        F.lit(None).cast("long").alias("group_n"),
+    ).unionByName(markers)
+
+
+def _confirm_forks(transcripts: DataFrame, cand: DataFrame,
+                   min_depth: int) -> DataFrame:
+    """Exact-confirm stage for :func:`conv_forks` candidates: join each
+    pair's actual turns 1..shared_depth side by side and recompute the
+    textual shared depth (last turn before the first (role, text)
+    mismatch).  Hash-collision pairs (textual depth < min_depth) are
+    dropped; deeper collisions truncate to the textual depth."""
+    turns = transcripts.select(
+        "conv_id", "turn_idx", F.col("role").alias("_r"), F.col("text").alias("_t")
+    )
+    left = cand.join(
+        turns, cand["conv_a"] == turns["conv_id"]
+    ).filter(
+        (F.col("turn_idx") >= 1) & (F.col("turn_idx") <= F.col("shared_depth"))
+    ).select("conv_a", "conv_b", "shared_depth", "turn_idx",
+             F.col("_r").alias("_ra"), F.col("_t").alias("_ta"))
+    both = left.join(
+        turns.withColumnRenamed("conv_id", "conv_b"), ["conv_b", "turn_idx"]
+    )
+    eq = (F.col("_ra").eqNullSafe(F.col("_r"))
+          & F.col("_ta").eqNullSafe(F.col("_t")))
+    return (
+        both.groupBy("conv_a", "conv_b", "shared_depth")
+        .agg(
+            F.min(F.when(~eq, F.col("turn_idx"))).alias("_first_bad"),
+        )
+        .select(
+            "conv_a", "conv_b",
+            F.coalesce(F.col("_first_bad") - 1, F.col("shared_depth"))
+            .cast("long").alias("shared_depth"),
+        )
+        .filter(F.col("shared_depth") >= int(min_depth))
     )

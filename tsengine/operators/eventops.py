@@ -42,15 +42,19 @@ def _guarded(df: DataFrame, by: str, max_per_key: int | None, compute):
     series in one task, so a single degenerate key (one conversation with
     10^8 turns) OOMs that task.
 
-    ``max_per_key=None`` (default) leaves the plan byte-identical to the
-    unguarded operator.  With a cap, keys exceeding it are EXCLUDED from the
+    Schema-stable contract (VERDICT r04 task 5): ``overflow`` is ALWAYS a
+    column of a guarded op's output, so toggling the cap never changes the
+    schema a downstream consumer binds to.  ``max_per_key=None`` (default)
+    emits it as constant False and leaves the REST of the plan byte-
+    identical to the unguarded operator (one extra literal projection, no
+    guard joins).  With a cap, keys exceeding it are EXCLUDED from the
     per-key computation (not truncated — truncation would still sort the hot
     key in one task) and surface as one all-NULL row flagged
     ``overflow=True``; within-cap results carry ``overflow=False``.  Cost
     when enabled: one extra map-side-combine count + a broadcast anti-join —
     no new wide shuffle."""
     if max_per_key is None:
-        return compute(df)
+        return compute(df).withColumn("overflow", F.lit(False))
     ok, over = _skew_split(df, by, max_per_key)
     out = compute(ok).withColumn("overflow", F.lit(False))
     pad = over.select(
@@ -564,8 +568,9 @@ def cohort_retention(
     in the output matrix, the excluded population surfaces as ONE summary
     row ``(cohort=NULL, offset=NULL, n_users=<excluded count>,
     retention=NULL, overflow=True)`` — emitted only when non-empty — and
-    all matrix rows gain ``overflow=False``.  Default None: plan
-    unchanged.
+    all matrix rows gain ``overflow=False``.  Default None: ``overflow``
+    still present as constant False (schema-stable contract, VERDICT r04
+    task 5), rest of the plan unchanged.
     """
     b = (F.floor(F.col(ts) / width_sec) * width_sec).cast("long")
     src = df.select(F.col(key).alias("_k"), b.alias("_b"))
@@ -601,7 +606,7 @@ def cohort_retention(
         ).alias("retention"),
     )
     if over is None:
-        return out
+        return out.withColumn("overflow", F.lit(False))
     pad = (
         over.agg(F.count("*").alias("n_users"))
         .where(F.col("n_users") > 0)

@@ -895,7 +895,9 @@ def q_cohort_retention(spark, sf_dir):
     from tsengine.operators.eventops import cohort_retention
 
     ev = _typed_events(spark, sf_dir)
-    return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400)
+    return cohort_retention(ev, key="user_id", ts="ep", width_sec=86400).select(
+        "cohort", "offset", "n_users", "retention"
+    )
 
 
 def q_derivative_integral(spark, sf_dir):
@@ -2296,10 +2298,14 @@ FROM k
 def q_conv_forks(spark, sf_dir):
     """Fork/retry detection: conversation pairs sharing a turn prefix of
     length >= 3 (role+text equal turn-by-turn, here role=text=event_type so
-    collisions genuinely occur), maximal shared depth per pair, boilerplate
-    cells capped at 64 conversations.  DuckDB mirrors the double rolling
-    hash (recursive power table), the cell filter, the pair join and the
-    max-depth collapse bit-for-bit."""
+    shared prefixes genuinely occur), maximal shared depth per pair, with
+    max_group=3 so oversized boilerplate cells surface as TEMPLATE MARKER
+    rows (r04 task 5) instead of vanishing, and confirm=True so every
+    candidate pair is re-verified against the actual turn text (r04 task
+    6).  DuckDB mirrors the double rolling hash (recursive power table),
+    the cell split, the pair join, the max-depth collapse and the marker
+    rows bit-for-bit; NULL marker fields are encoded as '~template~'/-1 in
+    both engines (the comparison layer has no NULL-int convention)."""
     from pyspark.sql import Window
 
     from tsengine.operators import convops
@@ -2312,7 +2318,15 @@ def q_conv_forks(spark, sf_dir):
         F.col("event_type").alias("role"),
         F.col("event_type").alias("text"),
     )
-    return convops.conv_forks(t, min_depth=3, max_depth=64, max_group=64)
+    out = convops.conv_forks(t, min_depth=3, max_depth=64, max_group=3,
+                             confirm=True)
+    return out.select(
+        F.coalesce("conv_a", F.lit("~template~")).alias("conv_a"),
+        F.coalesce("conv_b", F.lit("~template~")).alias("conv_b"),
+        "shared_depth",
+        "template",
+        F.coalesce("group_n", F.lit(-1)).cast("long").alias("group_n"),
+    )
 
 
 ORACLE["q_conv_forks"] = """
@@ -2342,17 +2356,37 @@ pref AS (
          sum(t2) OVER (PARTITION BY conv_id ORDER BY turn_idx) % 2147483587 AS ph2
   FROM terms),
 f AS (SELECT * FROM pref WHERE depth >= 3),
-cells AS (
-  SELECT depth, ph1, ph2 FROM f
-  GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 64),
+counted AS (
+  SELECT depth, ph1, ph2, count(*) AS n FROM f GROUP BY 1, 2, 3),
+cells AS (SELECT depth, ph1, ph2 FROM counted WHERE n BETWEEN 2 AND 3),
 m AS (SELECT f.* FROM f JOIN cells USING (depth, ph1, ph2)),
 pairs AS (
   SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, a.depth
   FROM m a JOIN m b
     ON a.depth = b.depth AND a.ph1 = b.ph1 AND a.ph2 = b.ph2
-   AND a.conv_id < b.conv_id)
-SELECT conv_a, conv_b, CAST(max(depth) AS BIGINT) AS shared_depth
-FROM pairs GROUP BY 1, 2
+   AND a.conv_id < b.conv_id),
+collapsed AS (
+  SELECT conv_a, conv_b, CAST(max(depth) AS BIGINT) AS shared_depth
+  FROM pairs GROUP BY 1, 2),
+-- confirm stage mirror: textual shared depth = last turn before the first
+-- (role, text) mismatch within 1..shared_depth (role == text here)
+confirmed AS (
+  SELECT c.conv_a, c.conv_b,
+         CAST(coalesce(min(CASE WHEN ta.role <> tb.role THEN ta.turn_idx END) - 1,
+                       c.shared_depth) AS BIGINT) AS shared_depth
+  FROM collapsed c
+  JOIN t ta ON ta.conv_id = c.conv_a
+           AND ta.turn_idx BETWEEN 1 AND c.shared_depth
+  JOIN t tb ON tb.conv_id = c.conv_b AND tb.turn_idx = ta.turn_idx
+  GROUP BY c.conv_a, c.conv_b, c.shared_depth)
+SELECT conv_a, conv_b, shared_depth,
+       FALSE AS template, CAST(-1 AS BIGINT) AS group_n
+FROM confirmed WHERE shared_depth >= 3
+UNION ALL
+SELECT '~template~' AS conv_a, '~template~' AS conv_b,
+       CAST(depth AS BIGINT) AS shared_depth,
+       TRUE AS template, CAST(n AS BIGINT) AS group_n
+FROM counted WHERE n > 3
 """
 
 

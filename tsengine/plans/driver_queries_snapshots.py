@@ -406,6 +406,54 @@ FROM l GROUP BY 1, 2
 """.replace("{width}", str(width))
 
 
+def q_tier_compressed_read(spark, sf_dir):
+    """Gorilla block-column tier storage read path (VERDICT r04 task 4):
+    after the shared incremental build, the 1h tier's numeric plane is
+    FROZEN into per-(conv, day) Gorilla block rows (shared delta-of-delta
+    timestamp stream + one XOR stream per value column) and read back
+    through the in-plan mapInPandas decoder.  The oracle rolls up the raw
+    events table directly, so a wrong block split, bit-packing defect, or
+    decode drift is a value mismatch — this proves the COMPRESSED form is
+    the readable storage form, not an offline artifact."""
+    q_materialized_tier_1h(spark, sf_dir)  # ensure the shared build exists
+    mat = _memo[("mat1h", sf_dir)]
+    key = ("blocks1h", sf_dir)
+    if key not in _memo:
+        _memo[key] = mat.freeze_tier_blocks(spark, "1h")
+    out = mat.read_tier_compressed(spark, "1h")
+    z = lambda c: F.coalesce(F.round(c, 6), F.lit(0.0))  # noqa: E731
+    return out.select(
+        "conv_id", "bucket", "cnt", "cnt_lat",
+        z("vmin").alias("vmin"), z("vmax").alias("vmax"),
+        z("vsum").alias("vsum"), z("vmean").alias("vmean"),
+    )
+
+
+def _mat_sql_numeric(width: int) -> str:
+    """Numeric-plane variant of _mat_sql (no role/tool pivots) for the
+    block-store read, which carries the latency plane only."""
+    return f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx
+  FROM events),
+l AS (
+  SELECT conv_id, epoch,
+         CAST(epoch - lag(epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS DOUBLE) AS value
+  FROM t)
+SELECT conv_id, {width}*(epoch//{width}) AS bucket,
+       count(*) AS cnt, count(value) AS cnt_lat,
+       coalesce(round(min(value), 6), 0.0) AS vmin,
+       coalesce(round(max(value), 6), 0.0) AS vmax,
+       coalesce(round(sum(value), 6), 0.0) AS vsum,
+       coalesce(round(avg(value), 6), 0.0) AS vmean
+FROM l GROUP BY 1, 2
+""".replace("{width}", str(width))
+
+
+ORACLE["q_tier_compressed_read"] = _mat_sql_numeric(3600)
 ORACLE["q_materialized_tier_1h"] = _mat_sql(3600)
 ORACLE["q_materialized_1d_retention"] = _mat_sql(86400)
 ORACLE["q_stream_ingest_1h"] = _mat_sql(3600)
@@ -422,4 +470,5 @@ QUERIES = {
     "q_stream_ingest_1h": q_stream_ingest_1h,
     "q_realtime_tier_1h": q_realtime_tier_1h,
     "q_tier_routed_6h": q_tier_routed_6h,
+    "q_tier_compressed_read": q_tier_compressed_read,
 }
