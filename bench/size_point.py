@@ -28,7 +28,13 @@ def main():
     ap.add_argument("--n-conv", type=int, required=True)
     ap.add_argument("--base-turns", type=int, default=60)
     ap.add_argument("--hot-factor", type=int, default=40)
-    ap.add_argument("--runs", type=int, default=3)
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_positive, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--partitions", type=int, default=16)
     args = ap.parse_args()
@@ -40,7 +46,15 @@ def main():
     from tsengine.operators import rollup as R
     from tsengine.synth import write_transcripts
 
-    tdir = f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
+    # cache key carries EVERY generation parameter: a rerun with the same
+    # --n-conv but different --base-turns/--hot-factor must not silently
+    # reuse stale data (ADVICE r04).  The bare-n_conv name stays the alias
+    # for the default parameters so existing cached tables keep working.
+    if (args.base_turns, args.hot_factor) == (60, 40):
+        tdir = f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
+    else:
+        tdir = (f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
+                f"_b{args.base_turns}_h{args.hot_factor}")
     spark = get_spark(
         app_name="size-point",
         master=f"local[{args.cpus}]",

@@ -305,3 +305,19 @@ def test_tsgb_calendar_placeholders_executor_side(spark):
                 exp.append(cur)
                 cur = time_interval_end(period, epoch_ref=cur + 60)
         assert got_ph == sorted(exp), period
+
+
+def test_group_by_legacy_midnight_dst_tz_warns(spark):
+    """ADVICE r04: calendar-period group_by_legacy in a zone whose DST
+    transition falls at local midnight must WARN (placeholder epochs on the
+    transition day can shift by the DST offset); the default Madrid path
+    and sub-day periods stay silent."""
+    import warnings
+
+    df = from_ts_lists(spark, [[(1_600_000_000, 1.0), (1_620_000_000, 2.0)]])
+    with pytest.warns(UserWarning, match="local midnight"):
+        group_by_legacy(df, period="month", tz_name="America/Santiago").columns
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        group_by_legacy(df, period="month").columns  # Madrid default: silent
+        group_by_legacy(df, period="hour", tz_name="America/Santiago").columns

@@ -28,6 +28,18 @@ from tsengine.timeutil import (
 
 _AGGS = {"sum": F.sum, "max": F.max, "min": F.min, "mean": F.avg, "std": F.stddev_pop}
 
+# Zones whose DST transitions occur at LOCAL MIDNIGHT (tzdata): stepping a
+# calendar interval from a period boundary in wall time can then land on a
+# nonexistent/ambiguous midnight, shifting group_by_legacy's folded
+# placeholder epoch by the DST offset on that one day (see its docstring).
+# Curated, not exhaustive — zones transitioning at 01:00+ are unaffected.
+MIDNIGHT_DST_TZS = frozenset({
+    "America/Santiago", "Chile/Continental", "Pacific/Easter",
+    "America/Havana", "Cuba", "America/Asuncion",
+    "America/Sao_Paulo", "Brazil/East", "America/Campo_Grande",
+    "America/Cuiaba",
+})
+
 
 def split(df: DataFrame, period: str = "day", tz_name: str = DEFAULT_TZ) -> DataFrame:
     """Add a ``bucket`` column = beginning-epoch of the row's calendar period."""
@@ -59,6 +71,18 @@ def group_by_legacy(
 ) -> DataFrame:
     """Legacy calendar group-by (af:114-205), long-format rendering.
 
+    Timezone limitation (surfaced per ADVICE r04): for day/week/month/year
+    periods, interior empty-period starts are enumerated by stepping one
+    calendar INTERVAL in local wall time and folding back through
+    ``to_utc_timestamp``.  In a timezone whose DST transition occurs AT
+    LOCAL MIDNIGHT (e.g. America/Santiago, America/Havana — midnight then
+    doesn't exist or exists twice), the folded placeholder epoch can differ
+    from the reference's scalar ``datetime(...).timestamp()`` walk by the
+    DST offset on the transition day.  The default Europe/Madrid (and every
+    zone transitioning at 02:00/03:00) is unaffected; passing a zone from
+    ``MIDNIGHT_DST_TZS`` emits a ``UserWarning`` so callers outside the
+    reference's tz know the edge exists.
+
     Output columns (series_id, bucket, epoch, value); one output "group" of
     the reference ≡ the rows sharing (series_id, bucket), ordered by epoch.
     Semantics traced from the backward pivot-walk (af:134-203) and pinned by
@@ -89,6 +113,17 @@ def group_by_legacy(
     """
     if period not in VALID_PERIODS:
         raise TsError(f"Invalid period given: {period}")
+    if period in ("day", "week", "month", "year") and tz_name in MIDNIGHT_DST_TZS:
+        import warnings
+
+        warnings.warn(
+            f"group_by_legacy({period!r}) in {tz_name!r}: this zone has DST "
+            "transitions at local midnight, so empty-period placeholder "
+            "epochs on a transition day may differ from the scalar "
+            "reference walk by the DST offset (see docstring)",
+            UserWarning,
+            stacklevel=2,
+        )
 
     w = Window.partitionBy("series_id").orderBy("epoch")
     b = (
