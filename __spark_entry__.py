@@ -73,6 +73,7 @@ _GATE_WINDOW = [
     "q_stream_ingest_1h",
     "q_snapshot_compact",
     "q_snapshot_incremental",
+    "q_tier_compressed_read",  # r05: Gorilla block-column tier read path
     # --- dedup / similarity ---
     "q_dedup_clusters",
     "q_minhash",
@@ -86,14 +87,16 @@ _GATE_WINDOW = [
     "q_kmv_day_merged",
     "q_hist_quantile_merged",
     "q_cms_counts",
-    "q_sliding_distinct",
-    # --- curation / sampling / event analytics ---
+    # --- curation / sampling / event / conversation analytics ---
     "q_corpus_curation",
     "q_funnel",
     "q_state_durations",
     "q_priority_sample",
-    "q_budget_sample",
+    "q_conv_forks",  # r05: template markers + exact-confirm stage
 ]
+# displaced to the locally-verified remainder to keep the window at 50:
+# q_sliding_distinct (KMV family still covered by q_kmv_day_merged),
+# q_budget_sample (sampling still covered by q_priority_sample)
 
 
 def _ordered(mapping: dict) -> dict:
