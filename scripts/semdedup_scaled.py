@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""q_semantic_dedup at scale: verify the SemDeDup pipeline with a codebook
+sized FOR the data, per the operator's own contract.
+
+Why this exists: the registry's q_semantic_dedup pins SEMDEDUP_CELLS = 8 so
+the DuckDB oracle can inline the codebook as literals.  SemDeDup's cost is
+quadratic in PER-CELL population (in-cell exact cosine pairs), so the fixed
+demo codebook is only linear-in-n when the codebook grows with n — exactly
+what semantic_dedup's docstring prescribes (codebook size controls expected
+cell population; Abbas et al. 2023 scale k with corpus size).  Running the
+8-cell demo parameterization on a 10x corpus multiplies pair work by ~100x —
+a mis-parameterization, not an engine property.  This script runs the SAME
+query and the SAME generated oracle with cells scaled k ~ n (default 80 at
+sf1.0, keeping expected per-cell population equal to the graded sf0.1 run)
+and compares Spark vs DuckDB exactly (all-integer output, no tolerance).
+
+Usage: python scripts/semdedup_scaled.py [sf_dir] [cells]
+Defaults: /tmp/tsengine_sf1.0 80
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsengine_sf1.0"
+    cells = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+
+    import duckdb
+
+    from tsengine.plans import driver_queries_data as dq
+    from tsengine.session import get_spark
+
+    # Scale the codebook: both the Spark query and the regenerated oracle SQL
+    # read this module constant at call time, so they stay exact mirrors.
+    dq.SEMDEDUP_CELLS = cells
+
+    cpus = os.environ.get("TSENGINE_ORACLE_CPUS", "8")
+    spark = get_spark(app_name="semdedup-scaled", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    t0 = time.perf_counter()
+    sdf = dq.q_semantic_dedup(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
+    t_spark = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    t0 = time.perf_counter()
+    ddf = con.execute(dq._semantic_dedup_sql()).fetch_df()
+    dcols = sorted(ddf.columns)
+    duck_rows = sorted(
+        tuple(int(v) for v in row)
+        for row in ddf[dcols].itertuples(index=False, name=None)
+    )
+    t_duck = time.perf_counter() - t0
+
+    ok = scols == dcols and spark_rows == duck_rows
+    n_comp = len({r[scols.index("component")] for r in spark_rows})
+    out = {
+        "query": "q_semantic_dedup",
+        "sf_dir": sf_dir,
+        "cells": cells,
+        "rows": len(spark_rows),
+        "components": n_comp,
+        "schema_match": scols == dcols,
+        "exact_value_match": spark_rows == duck_rows,
+        "spark_sec": round(t_spark, 2),
+        "duckdb_sec": round(t_duck, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

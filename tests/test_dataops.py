@@ -613,3 +613,46 @@ def test_synth_media_payloads_are_genuinely_encoded(spark):
             spec = np.abs(np.fft.rfft(wav))
             peak_hz = spec.argmax() / float(meta["duration_s"])
             assert abs(peak_hz - 220.0 * (1 + r["media_id"] % 5)) < 4.0
+
+
+def test_semantic_pairs_probe_spread_on_narrow_input(spark):
+    """A 1-partition corpus must NOT compute the in-cell pairwise join in a
+    single task: _semantic_pairs respreads the assigned frame to the
+    session's shuffle parallelism (visible as a RoundRobinPartitioning
+    exchange), an already-wide frame is left untouched, and the respread
+    changes no values (semantic_dedup output identical either way)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.operators import similarity
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    cents = similarity.fixed_centroids(4, 64, seed=7)
+    narrow = emb.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+
+    plan_narrow = (
+        dedup._semantic_pairs(narrow, cents, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" in plan_narrow, plan_narrow
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = emb.repartition(n_shuffle, "vec_id")
+    plan_wide = (
+        dedup._semantic_pairs(wide, cents, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" not in plan_wide, plan_wide
+
+    got_narrow = sorted(
+        (r["vec_id"], r["component"], r["is_canonical"])
+        for r in dedup.semantic_dedup(narrow, cents, threshold=0.3).collect()
+    )
+    got_wide = sorted(
+        (r["vec_id"], r["component"], r["is_canonical"])
+        for r in dedup.semantic_dedup(wide, cents, threshold=0.3).collect()
+    )
+    assert got_narrow == got_wide

@@ -519,6 +519,33 @@ def semantic_dedup(
     deterministic/oracle-able pipeline, ``train_centroids_distributed`` for
     quantizer quality at scale."""
     from tsengine.operators.components import dedup_resolve
+
+    pairs = _semantic_pairs(emb, centroids, threshold, vec_col, id_col)
+    return dedup_resolve(
+        emb.select(F.col(id_col)), pairs, id_col=id_col, src="vec_a", dst="vec_b"
+    )
+
+
+def _semantic_pairs(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """In-cell cosine candidate pairs for :func:`semantic_dedup` —
+    ``(vec_a, vec_b)`` with ``vec_a < vec_b`` and cosine >= threshold.
+
+    Parallelism floor: on a broadcast-sized corpus Catalyst turns the
+    in-cell self-join into a broadcast hash join, which keeps the STREAMED
+    side's input partitioning — a single-file scan then computes every
+    in-cell pair in ONE task (the join output explodes quadratically in
+    cell population, so AQE's input-size stats can't see it coming).  When
+    the assigned frame is narrower than the session's shuffle parallelism
+    it is round-robin respread first; both join aliases read the respread
+    frame, so whichever side Catalyst broadcasts, the streamed side stays
+    wide.  At cluster scale the scan is already >= that wide and no extra
+    exchange is ever added to the big path."""
     from tsengine.operators.similarity import _dot, _norm, ivf_assign
 
     a = ivf_assign(emb, centroids, vec_col, id_col).select(
@@ -527,17 +554,17 @@ def semantic_dedup(
         "ivf_cell",
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if a.rdd.getNumPartitions() < n_shuffle:
+        a = a.repartition(n_shuffle)
     x, y = a.alias("x"), a.alias("y")
     cos = F.round(
         _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm")), 6
     )
-    pairs = (
+    return (
         x.join(y, (F.col("x.ivf_cell") == F.col("y.ivf_cell")) & (F.col("x.vid") < F.col("y.vid")))
         .where(cos >= threshold)
         .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
-    )
-    return dedup_resolve(
-        emb.select(F.col(id_col)), pairs, id_col=id_col, src="vec_a", dst="vec_b"
     )
 
 
