@@ -165,10 +165,25 @@ JVM_OPTS = "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
 
 
 def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str,
-              job_arg: str, extra_args: list[str] | None = None) -> dict:
+              job_arg: str, extra_args: list[str] | None = None,
+              exec_mem_mb: int | None = None,
+              parts_per_core: int = 2, parts: int | None = None) -> dict:
     service_cores = 2  # driver JVM (hosts the in-process master/worker daemons)
     pin = list(range(min(n_exec * exec_cores + service_cores, os.cpu_count())))
-    mem_mb = 1024 + 1024 * exec_cores
+    # default heap scales with cores; override for configs where per-TASK
+    # data is large (e.g. 1-core executors keep the 8-partition floor, so a
+    # weak-scaled N=4 level pushes 4x the rows through each task)
+    mem_mb = exec_mem_mb or (1024 + 1024 * exec_cores)
+    # weak-scaling fairness: with the default 2 tasks/core the max(.., 8)
+    # floor makes small-core levels run CONSTANT partition counts while the
+    # slice grows linearly — per-task state then grows with N and the big
+    # level OOMs first.  parts_per_core > 2 restores constant per-task work
+    # (partitions ∝ slice), the shape a fixed target-partition-size config
+    # gives on a real cluster.
+    # strong-scaling fairness is the opposite: FIXED input wants a FIXED
+    # partition count at every level (identical plan and task grain, only
+    # the core count varies) — pass ``parts`` to pin it.
+    shuffle_parts = parts or max(parts_per_core * n_exec * exec_cores, 8)
     evt_dir = "/tmp/tsengine_evtlog"
     os.makedirs(evt_dir, exist_ok=True)
     cmd = [
@@ -183,7 +198,7 @@ def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str,
         # or the microVM's ~100x first-touch page faults dominate
         "--conf", f"spark.executor.extraJavaOptions={JVM_OPTS}",
         "--conf", f"spark.driver.extraJavaOptions={JVM_OPTS}",
-        "--conf", f"spark.sql.shuffle.partitions={max(2 * n_exec * exec_cores, 8)}",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
@@ -204,7 +219,7 @@ def run_level(n_exec: int, exec_cores: int, zip_path: str, job_path: str,
     env.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     env.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     env.setdefault("MALLOC_MMAP_MAX_", "0")
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=2400)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -216,6 +231,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="2,8", help="executor counts (N,4N)")
     ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument("--parts-per-core", type=int, default=2,
+                    help="shuffle partitions per executor core (floor 8)")
+    ap.add_argument("--parts", type=int, default=None,
+                    help="absolute shuffle partition count at EVERY level "
+                         "(strong-scaling fairness: identical plan/task grain)")
+    ap.add_argument("--exec-mem-mb", type=int, default=None,
+                    help="per-executor container memory MB (default 1024+1024*cores)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n-conv", type=int, default=9000)
     ap.add_argument("--tdir", default=None)
@@ -228,6 +250,8 @@ def main():
              "4*pps(N), same ratio formula); writes BENCH/scaling_weak.json")
     ap.add_argument("--modes", default="compress,nocompress",
                     help="comma list of pipeline modes to sweep")
+    ap.add_argument("--out", default=None,
+                    help="BENCH/ output filename (default scaling_weak.json / scaling_cluster.json)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     tdir = args.tdir or f"/tmp/tsengine_bench_transcripts_{args.n_conv}"
@@ -253,7 +277,9 @@ def main():
         for n in levels:
             extra = [mode] + ([f"subset={n}/{denom}"] if args.weak else [])
             runs = [run_level(n, args.exec_cores, zip_path, job_path, tdir,
-                              extra_args=extra)
+                              extra_args=extra, exec_mem_mb=args.exec_mem_mb,
+                              parts_per_core=args.parts_per_core,
+                              parts=args.parts)
                     for _ in range(args.runs)]
             best = max(runs, key=lambda r: r["pps"])
             mode_results[mode][n] = {
@@ -283,7 +309,10 @@ def main():
             ctrl_rows = (args.control_rows * n // denom if args.weak
                          else args.control_rows)
             runs = [run_level(n, args.exec_cores, zip_path, ctrl_path,
-                              str(ctrl_rows)) for _ in range(2)]
+                              str(ctrl_rows), exec_mem_mb=args.exec_mem_mb,
+                              parts_per_core=args.parts_per_core,
+                              parts=args.parts)
+                    for _ in range(2)]
             best = max(runs, key=lambda r: r["pps"])
             ctrl[n] = {"best_pps": round(best["pps"], 1),
                        "all_pps": [round(r["pps"], 1) for r in runs]}
@@ -327,6 +356,9 @@ def main():
         ),
         "scaling_kind": "weak" if args.weak else "strong",
         "exec_cores": args.exec_cores,
+        "exec_mem_mb": args.exec_mem_mb or (1024 + 1024 * args.exec_cores),
+        "parts_per_core": args.parts_per_core,
+        "parts": args.parts,
         "levels": levels,
         "results": {str(k): v for k, v in results.items()},
         "results_by_mode": {
@@ -344,7 +376,7 @@ def main():
     }
     print(json.dumps(summary, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_name = "scaling_weak.json" if args.weak else "scaling_cluster.json"
+    out_name = args.out or ("scaling_weak.json" if args.weak else "scaling_cluster.json")
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=2)
 
