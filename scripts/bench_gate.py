@@ -60,12 +60,33 @@ def run_bench() -> dict:
     return json.loads(line)
 
 
+def probe_steal() -> dict:
+    """Quantify host CPU steal around the measurement (bench/steal_probe.py):
+    a gate FAIL taken while the hypervisor is stealing >= 10 % of the box is
+    a substrate reading, not a regression signal — record the context so the
+    snapshot is interpretable later."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench", "steal_probe.py"), "5"],
+        capture_output=True, text=True,
+    )
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {"steal_pct": None, "error": out.stderr[-300:]}
+
+
 def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--compare":
         with open(sys.argv[2]) as f:
             current = json.load(f)
+        steal = None
     else:
+        pre = probe_steal()
         current = run_bench()
+        post = probe_steal()
+        steal = {"before": pre, "after": post}
+        print(f"host steal: {pre.get('steal_pct')}% before, "
+              f"{post.get('steal_pct')}% after")
     base_path, base = latest_baseline()
     cur_q = current.get("queries", {})
     regressions, improved = [], []
@@ -87,9 +108,15 @@ def main() -> int:
     out_path = os.path.join(REPO, "BENCH", "bench_gate_last.json")
     with open(out_path, "w") as f:
         json.dump({"baseline": os.path.basename(base_path), "current": current,
+                   "host_steal": steal,
                    "regressions": [r[0] for r in regressions]}, f, indent=1)
+    noisy = steal and any(
+        ((steal[k] or {}).get("steal_pct") or 0) >= 10 for k in ("before", "after")
+    )
     if regressions:
-        print(f"FAIL: {len(regressions)} regressions (details {out_path})")
+        print(f"FAIL: {len(regressions)} regressions (details {out_path})"
+              + (" — host steal >= 10%, reading is substrate-attributed; "
+                 "re-run when bench/steal_probe.py says quiet" if noisy else ""))
         return 1
     print("OK: no regressions")
     return 0
