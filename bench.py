@@ -102,11 +102,32 @@ def _tier_match_rate(spark, raw, role_vocab, tool_vocab, n_sample=50):
     return rates
 
 
+def _steal_probe(sec: str = "3") -> float | None:
+    """Host CPU-steal share while saturating every core (bench/steal_probe.py).
+    Recorded in the output JSON so a snapshot taken during one of this box's
+    documented hypervisor-steal episodes (16-24 % measured in round 5; the
+    identical code reads 28.7 s quiet vs 47 s mid-burst) carries its own
+    explanation.  Runs OUTSIDE every timed region."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "steal_probe.py"), sec],
+            capture_output=True, text=True, timeout=60,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])["steal_pct"]
+    except Exception:
+        return None
+
+
 def main():
     # bench-substrate control: the sandbox block device serializes shuffle IO
     # a real executor's NVMe would not; tmpfs shuffle dirs are opt-in in
     # get_spark and the bench opts in (library sessions stay on disk)
     os.environ.setdefault("TSENGINE_TMPFS_SHUFFLE", "1")
+    steal_before = _steal_probe()
     # Fault the whole heap at JVM start (outside every timed region): this
     # VM's lazily-committed memory makes first-touch faults ~100x, so an
     # un-pretouched session pays them inside whichever query allocates
@@ -350,6 +371,11 @@ def main():
         "tier_block_bytes": blk_stats["bytes"],
         "tier_block_bytes_per_point": blk_stats["bytes_per_point"],
         "cpus": int(cpus),
+        # hypervisor steal share around the run (NOT inside any timed
+        # region): >= ~10 % means absolute timings here are substrate-
+        # attributed — see BENCH/BASELINE.md round-5 substrate note
+        "host_steal_pct_before": steal_before,
+        "host_steal_pct_after": _steal_probe(),
     }
     print(json.dumps(out))
 
