@@ -102,7 +102,7 @@ def _tier_match_rate(spark, raw, role_vocab, tool_vocab, n_sample=50):
     return rates
 
 
-def _steal_probe(sec: str = "3") -> float | None:
+def _steal_probe(sec: str = "3") -> dict | None:
     """Host CPU-steal share while saturating every core (bench/steal_probe.py).
     Recorded in the output JSON so a snapshot taken during one of this box's
     documented hypervisor-steal episodes (16-24 % measured in round 5; the
@@ -117,7 +117,9 @@ def _steal_probe(sec: str = "3") -> float | None:
                           "bench", "steal_probe.py"), sec],
             capture_output=True, text=True, timeout=60,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])["steal_pct"]
+        d = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"steal_pct": d.get("steal_pct"),
+                "memcpy_gbps": d.get("memcpy_gbps")}
     except Exception:
         return None
 
@@ -374,8 +376,10 @@ def main():
         # hypervisor steal share around the run (NOT inside any timed
         # region): >= ~10 % means absolute timings here are substrate-
         # attributed — see BENCH/BASELINE.md round-5 substrate note
-        "host_steal_pct_before": steal_before,
-        "host_steal_pct_after": _steal_probe(),
+        "host_steal_pct_before": (steal_before or {}).get("steal_pct"),
+        "host_memcpy_gbps_before": (steal_before or {}).get("memcpy_gbps"),
+        "host_steal_pct_after": ((steal_after := _steal_probe()) or {}).get("steal_pct"),
+        "host_memcpy_gbps_after": (steal_after or {}).get("memcpy_gbps"),
     }
     print(json.dumps(out))
 

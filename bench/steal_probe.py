@@ -44,9 +44,31 @@ def _stat() -> list[int]:
         return [int(v) for v in f.readline().split()[1:]]
 
 
+def _memcpy_gbps(mb: int = 200, reps: int = 3) -> float:
+    """Single-core pre-touched memcpy bandwidth (GB/s) — the SECOND
+    contention axis.  A neighbor VM saturating the shared memory bus shows
+    ZERO steal (no CPU is taken) while slowing every shuffle/aggregate by
+    the bandwidth ratio; this box's quiet-bus reference is ~14.7 GB/s
+    (BENCH/BASELINE.md substrate controls), and a round-5 episode measured
+    8.1 GB/s at 0.1 % steal alongside uniformly ~1.4x slower bench numbers."""
+    import numpy as np
+
+    a = np.ones(mb * 1_000_000 // 8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # pre-touch both buffers outside the timed region
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(mb / 1000 / best, 1)
+
+
 def main() -> None:
     dur = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = os.cpu_count() or 1
+    mem_gbps = _memcpy_gbps()
     s0 = _stat()
     with mp.Pool(n) as pool:
         counts = pool.map(_burn, [dur] * n)
@@ -64,7 +86,13 @@ def main() -> None:
         "iters_per_sec_total": round(sum(counts) / dur),
         "iters_per_sec_min_worker": round(min(counts) / dur),
         "iters_per_sec_max_worker": round(max(counts) / dur),
-        "gate_advice": "quiet" if shares.get("steal", 0.0) < 5 else "noisy",
+        "memcpy_gbps": mem_gbps,
+        "memcpy_gbps_quiet_ref": 14.7,
+        "gate_advice": (
+            "quiet"
+            if shares.get("steal", 0.0) < 5 and mem_gbps >= 11.0
+            else "noisy"
+        ),
     }
     print(json.dumps(out))
 

@@ -86,7 +86,9 @@ def main() -> int:
         post = probe_steal()
         steal = {"before": pre, "after": post}
         print(f"host steal: {pre.get('steal_pct')}% before, "
-              f"{post.get('steal_pct')}% after")
+              f"{post.get('steal_pct')}% after; memcpy "
+              f"{pre.get('memcpy_gbps')}/{post.get('memcpy_gbps')} GB/s "
+              f"(quiet ref 14.7)")
     base_path, base = latest_baseline()
     cur_q = current.get("queries", {})
     regressions, improved = [], []
@@ -111,12 +113,15 @@ def main() -> int:
                    "host_steal": steal,
                    "regressions": [r[0] for r in regressions]}, f, indent=1)
     noisy = steal and any(
-        ((steal[k] or {}).get("steal_pct") or 0) >= 10 for k in ("before", "after")
+        ((steal[k] or {}).get("steal_pct") or 0) >= 10
+        or ((steal[k] or {}).get("memcpy_gbps") or 99) < 11.0
+        for k in ("before", "after")
     )
     if regressions:
         print(f"FAIL: {len(regressions)} regressions (details {out_path})"
-              + (" — host steal >= 10%, reading is substrate-attributed; "
-                 "re-run when bench/steal_probe.py says quiet" if noisy else ""))
+              + (" — host contended (steal >= 10% or memory bus < 11 GB/s), "
+                 "reading is substrate-attributed; re-run when "
+                 "bench/steal_probe.py says quiet" if noisy else ""))
         return 1
     print("OK: no regressions")
     return 0
